@@ -1,0 +1,190 @@
+"""Pixel-domain primitives in pure numpy (no cv2 in the sandbox —
+SURVEY.md §7.0). These re-express the reference's OpenCV calls
+(python/app.py:115-207) with explicitly specified border/tie-break
+semantics; our unit tests are the spec (SURVEY.md §7.4.4).
+
+Conventions:
+- grayscale uint8, 0 = ink/black, 255 = paper/white (input pages);
+- "binary" images are uint8 with values in {0, 255};
+- morphology border handling: out-of-bounds = 0 for both erosion (min)
+  and dilation (max). With a constant-0 border, k iterations of a
+  length-L min/max filter equal one pass with window k*(L-1)+1, which we
+  exploit for speed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def otsu_threshold(img: np.ndarray) -> int:
+    """Otsu's method on a 256-bin histogram: threshold t maximizing
+    inter-class variance; pixels > t are foreground (255). Ties broken by
+    the LOWEST t (our pinned spec; cv2's tie-break is unspecified)."""
+    hist = np.bincount(img.ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 0
+    omega = np.cumsum(hist)  # class-0 mass for t = 0..255
+    mu = np.cumsum(hist * np.arange(256))
+    mu_t = mu[-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sigma_b = (mu_t * omega - mu) ** 2 / (omega * (total - omega))
+    sigma_b = np.nan_to_num(sigma_b, nan=-1.0, posinf=-1.0, neginf=-1.0)
+    return int(np.argmax(sigma_b))  # argmax returns the first (lowest) max
+
+
+def threshold_binary_otsu(img: np.ndarray) -> np.ndarray:
+    """cv2.threshold(img, 128, 255, BINARY|OTSU) equivalent: the 128 is
+    ignored when OTSU is set (python/app.py:119,151)."""
+    t = otsu_threshold(img)
+    return np.where(img > t, np.uint8(255), np.uint8(0))
+
+
+def _sliding_min_1d(a: np.ndarray, window: int, axis: int) -> np.ndarray:
+    """Sliding-window minimum along ``axis`` with constant-0 padding and
+    cv2-style anchor (window // 2)."""
+    if window <= 1:
+        return a
+    pad_before = window // 2
+    pad_after = window - 1 - pad_before
+    pads = [(0, 0), (0, 0)]
+    pads[axis] = (pad_before, pad_after)
+    ap = np.pad(a, pads, mode="constant", constant_values=0)
+    win = np.lib.stride_tricks.sliding_window_view(ap, window, axis=axis)
+    return win.min(axis=-1)
+
+
+def _sliding_max_1d(a: np.ndarray, window: int, axis: int) -> np.ndarray:
+    if window <= 1:
+        return a
+    pad_before = window // 2
+    pad_after = window - 1 - pad_before
+    pads = [(0, 0), (0, 0)]
+    pads[axis] = (pad_before, pad_after)
+    ap = np.pad(a, pads, mode="constant", constant_values=0)
+    win = np.lib.stride_tricks.sliding_window_view(ap, window, axis=axis)
+    return win.max(axis=-1)
+
+
+def erode_rect(img: np.ndarray, kw: int, kh: int, iterations: int = 1) -> np.ndarray:
+    """Erosion (min filter) with a kw x kh rectangular kernel, ``iterations``
+    times. Equivalent single-pass window: n*(k-1)+1 per axis (valid because
+    the constant-0 border is the global minimum)."""
+    ww = iterations * (kw - 1) + 1
+    wh = iterations * (kh - 1) + 1
+    out = _sliding_min_1d(img, ww, axis=1) if ww > 1 else img
+    if wh > 1:
+        out = _sliding_min_1d(out, wh, axis=0)
+    return out
+
+
+def dilate_rect(img: np.ndarray, kw: int, kh: int, iterations: int = 1) -> np.ndarray:
+    ww = iterations * (kw - 1) + 1
+    wh = iterations * (kh - 1) + 1
+    out = _sliding_max_1d(img, ww, axis=1) if ww > 1 else img
+    if wh > 1:
+        out = _sliding_max_1d(out, wh, axis=0)
+    return out
+
+
+def connected_components(binary: np.ndarray) -> tuple[np.ndarray, int]:
+    """4-connected component labeling of nonzero pixels (our spec's
+    replacement for cv2.findContours on white regions, python/app.py:154).
+    Returns (labels int32 array with 0 = background, n_labels).
+
+    Row-run union-find: vectorized over runs, not pixels — fast enough for
+    ~1e6-pixel pages inside an Arrow batch.
+    """
+    h, w = binary.shape
+    fg = binary != 0
+    labels = np.zeros((h, w), dtype=np.int32)
+    parent: list[int] = [0]  # parent[i] for union-find; 0 = background
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    prev_runs: list[tuple[int, int, int]] = []  # (start, end, label) of row above
+    for y in range(h):
+        row = fg[y]
+        if not row.any():
+            prev_runs = []
+            continue
+        d = np.diff(row.astype(np.int8))
+        starts = list(np.flatnonzero(d == 1) + 1)
+        ends = list(np.flatnonzero(d == -1) + 1)
+        if row[0]:
+            starts.insert(0, 0)
+        if row[-1]:
+            ends.append(w)
+        cur_runs: list[tuple[int, int, int]] = []
+        pi = 0
+        for s, e in zip(starts, ends):
+            lab = 0
+            # merge with all overlapping runs in the previous row
+            while pi < len(prev_runs) and prev_runs[pi][1] <= s:
+                pi += 1
+            pj = pi
+            while pj < len(prev_runs) and prev_runs[pj][0] < e:
+                plab = find(prev_runs[pj][2])
+                if lab == 0:
+                    lab = plab
+                elif plab != lab:
+                    parent[max(plab, lab)] = min(plab, lab)
+                    lab = min(plab, lab)
+                pj += 1
+            if lab == 0:
+                parent.append(len(parent))
+                lab = len(parent) - 1
+            labels[y, s:e] = lab
+            cur_runs.append((s, e, lab))
+        prev_runs = cur_runs
+
+    if len(parent) == 1:
+        return labels, 0
+    # flatten and renumber labels 1..n in first-encounter (row-major) order
+    roots = np.array([find(i) for i in range(len(parent))], dtype=np.int32)
+    remap = np.zeros(len(parent), dtype=np.int32)
+    nxt = 0
+    flat = labels.ravel()
+    order_roots = roots[flat[flat != 0]]
+    # first-encounter order of roots in row-major scan (vectorized):
+    uniq, first_idx = np.unique(order_roots, return_index=True)
+    seen: dict[int, int] = {}
+    for rank, r in enumerate(uniq[np.argsort(first_idx)], start=1):
+        seen[int(r)] = rank
+        nxt = rank
+    for i in range(1, len(parent)):
+        remap[i] = seen.get(int(roots[i]), 0)
+    labels = remap[labels]
+    return labels, nxt
+
+
+def component_bboxes(labels: np.ndarray, n: int) -> list[tuple[int, int, int, int]]:
+    """Per-label bounding boxes as (x, y, w, h) — cv2.boundingRect shape
+    (python/app.py:167,181) — indexed in label order (first-encounter
+    row-major, our pinned contour-order spec)."""
+    ys, xs = np.nonzero(labels)
+    if len(ys) == 0:
+        return []
+    lab = labels[ys, xs]
+    big = np.iinfo(np.int64).max
+    x0 = np.full(n + 1, big)
+    y0 = np.full(n + 1, big)
+    x1 = np.full(n + 1, -1)
+    y1 = np.full(n + 1, -1)
+    np.minimum.at(x0, lab, xs)
+    np.minimum.at(y0, lab, ys)
+    np.maximum.at(x1, lab, xs)
+    np.maximum.at(y1, lab, ys)
+    return [
+        (int(x0[i]), int(y0[i]), int(x1[i] - x0[i] + 1), int(y1[i] - y0[i] + 1))
+        if x1[i] >= 0
+        else (0, 0, 0, 0)
+        for i in range(1, n + 1)
+    ]

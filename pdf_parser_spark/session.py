@@ -1,0 +1,57 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Every knob is chosen for the 100 TB design point and merely *works* at
+local[32] (SURVEY.md §4):
+
+- AQE on: runtime shuffle coalescing + skew-join splitting;
+- Arrow on + small record batches: pages are MB-scale fat rows, so a
+  64-row Arrow batch keeps executor-python memory bounded (the analogue
+  of the reference's 5-file OCR waves, pdfService.js:89-94);
+- python worker reuse: the UDF stages are called per batch, fork cost
+  must amortize;
+- shuffle partitions sized for the local harness; a cluster submit
+  overrides via --conf (jobs/extract.py exposes it).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH_ROWS = 64
+
+
+def get_spark(
+    app_name: str = "pdf-parser-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[32]")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and master.startswith("local"):
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+        )
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_BATCH_ROWS),
+        )
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # fat binary rows: keep scan partitions small enough to fit
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return b.getOrCreate()

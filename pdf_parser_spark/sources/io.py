@@ -1,0 +1,78 @@
+"""Table IO facade (SURVEY.md §1.2 storage note).
+
+The north rule targets Iceberg tables; this sandbox has no Iceberg jars
+(verified, SURVEY.md §7.0), so the facade detects whether an Iceberg
+catalog is configured and otherwise uses plain parquet with IDENTICAL
+schemas and dynamic-partition-overwrite semantics (the parquet stand-in
+for Iceberg's atomic partition replace). Job code only ever touches this
+facade, so pointing a real cluster at Iceberg is a config change, not a
+code change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        cls = "org.apache.iceberg.spark.SparkCatalog"
+        spark.sparkContext._jvm.java.lang.Class.forName(cls)  # noqa: SLF001
+        return any(
+            k.startswith("spark.sql.catalog.")
+            and v.endswith("SparkCatalog")
+            for k, v in spark.sparkContext.getConf().getAll()
+        )
+    except Exception:
+        return False
+
+
+class TableIO:
+    """read/write/overwrite-partitions against Iceberg tables or a
+    parquet directory tree, behind one interface."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.iceberg = _iceberg_available(spark)
+
+    def _path(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def exists(self, name: str) -> bool:
+        if self.iceberg:
+            return self.spark.catalog.tableExists(self._path(name))
+        # parquet: probe the directory through Hadoop FS (works for any
+        # scheme the cluster can reach, not just file://)
+        sc = self.spark.sparkContext
+        hpath = sc._jvm.org.apache.hadoop.fs.Path(self._path(name))  # noqa: SLF001
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+        return fs.exists(hpath)
+
+    def read(self, name: str) -> DataFrame:
+        if self.iceberg:
+            return self.spark.read.table(self._path(name))
+        return self.spark.read.parquet(self._path(name))
+
+    def append(self, df: DataFrame, name: str) -> None:
+        if self.iceberg:
+            df.writeTo(self._path(name)).append()
+        else:
+            df.write.mode("append").parquet(self._path(name))
+
+    def overwrite_partitions(
+        self, df: DataFrame, name: str, partition_col: str
+    ) -> None:
+        """Replace exactly the partitions present in ``df`` — Iceberg's
+        dynamic overwrite, or parquet dynamic partitionOverwriteMode
+        (set in session.py). This is what makes resume idempotent: a
+        half-written partition from a killed run is fully replaced on
+        re-run, never duplicated."""
+        if self.iceberg:
+            df.writeTo(self._path(name)).overwritePartitions()
+        else:
+            (
+                df.write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(self._path(name))
+            )
