@@ -1,38 +1,469 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query: the full HTML main-content
+extraction pipeline over Common-Crawl-style pages synthesized from the
+``documents`` table, aggregated per language.
+
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data operators (dedup / similarity /
+quality); ``oracle_sql()`` gives the DuckDB twin for every
+SQL-expressible one. Non-SQL-expressible entries (xxhash64-based
+minhash/simhash/winnowing, the glyph-OCR pdf path) are rows-only checks.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------------- flagship pipeline
+
+
+def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically wrap each documents.text row into a
+    Common-Crawl-style page (url, warc_ts, html:binary, text, lang) —
+    boilerplate nav/footer + the doc text as main content. The pipeline
+    must strip the boilerplate and recover exactly the normalized text."""
+    import pandas as pd
+
+    from pdf_parser_spark import schemas
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+
+    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from datetime import datetime, timedelta, timezone
+
+        epoch = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        for pdf in batches:
+            rows = []
+            for doc_id, text, lang, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+            ):
+                esc = (
+                    str(text)
+                    .replace("&", "&amp;")
+                    .replace("<", "&lt;")
+                    .replace(">", "&gt;")
+                )
+                html = (
+                    "<!DOCTYPE html><html><head>"
+                    f"<title>doc {doc_id}</title>"
+                    "<script>var x = 1;</script></head><body>"
+                    '<nav><a href="/">Home</a> <a href="/a">About</a> '
+                    '<a href="/b">More</a></nav>'
+                    f'<article><p>{esc}</p></article>'
+                    '<footer><a href="/p">Privacy</a> '
+                    "<span>c example corp</span></footer></body></html>"
+                )
+                rows.append(
+                    {
+                        "url": f"https://{source}.example/doc/{doc_id}",
+                        "warc_ts": epoch + timedelta(seconds=int(doc_id)),
+                        "html": html.encode("utf-8"),
+                        "text": str(text),
+                        "lang": str(lang),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return docs.mapInPandas(wrap, schema=schemas.INPUT)
+
+
+def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full HTML path end-to-end: synthesize pages -> extract_stage ->
+    per-lang rollup. DuckDB-checkable because extraction of the wrapped
+    page provably equals whitespace-normalized documents.text."""
+    from pdf_parser_spark.operators import extract_stage
+
+    pages = _pages_from_documents(spark, sf_dir)
+    docs = _load(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        "lang",
+    )
+    out = extract_stage(pages).join(docs, "url")
+    return (
+        out.filter(F.col("error").isNull())
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+FLAGSHIP_ORACLE = """
+SELECT lang,
+       count(*) AS n_docs,
+       sum(length(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS total_chars,
+       min(length(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS min_chars,
+       max(length(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS max_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_flagship_extract(spark, SF_DEFAULT)
+
+
+# ----------------------------------------------------- relational operators
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem: broadcast the small dims, aggregate
+    revenue, deterministic top-10."""
+    c = _load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_window_latest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+Q_WINDOW_ORACLE = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate DESC, o_orderkey ASC
+         ) AS rn
+  FROM orders
+) WHERE rn <= 2
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+Q_EVENTS_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_token_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/token-count operator: top-20 tokens by frequency."""
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim("text"), " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+Q_TOKEN_ORACLE = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+WHERE length(token) > 0
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------- training-data operators
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_parser_spark.functions import exact_dedup
+
+    return exact_dedup(_load(spark, sf_dir, "documents"))
+
+
+Q_DEDUP_EXACT_ORACLE = """
+SELECT sha256(text) AS text_sha, min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_parser_spark.functions import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    return out.select(
+        "id_a", "id_b", "n_inter", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+Q_NGRAM_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(string_split(trim(text), ' ')) - 3, 0) + 2),
+             i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' ')
+           )) AS shingle
+    FROM documents
+  ) WHERE length(shingle) > 0
+),
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100
+),
+shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_inter,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+"""
+
+
+def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_parser_spark.functions import quality_metrics
+
+    out = quality_metrics(_load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round("chars_per_token", 6).alias("chars_per_token"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("distinct_token_ratio", 6).alias("distinct_token_ratio"),
+    )
+
+
+Q_QUALITY_ORACLE = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(trim(text), ' ')) AS n_tokens,
+       round(length(text) * 1.0 / len(string_split(trim(text), ' ')), 6)
+         AS chars_per_token,
+       round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 6) AS alpha_ratio,
+       round(len(list_distinct(string_split(trim(text), ' '))) * 1.0
+             / greatest(len(string_split(trim(text), ' ')), 1), 6)
+         AS distinct_token_ratio
+FROM documents
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors; ids and rank
+    only (float scores stay out of the hash compare)."""
+    from pdf_parser_spark.functions import brute_force_cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = brute_force_cosine_topk(emb, q, k=5)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+Q_ANN_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
+           AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (xxhash64-based — rows-only check,
+    validated against exact Jaccard in tests/test_textops.py)."""
+    from pdf_parser_spark.functions import minhash_lsh_candidates
+
+    out = minhash_lsh_candidates(
+        _load(spark, sf_dir, "documents"), num_perm=16, bands=4, threshold=0.2
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 per doc (xxhash64-based — rows-only check)."""
+    from pdf_parser_spark.functions import simhash64
+
+    return simhash64(_load(spark, sf_dir, "documents"))
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rows-only check; invariants in pytest)."""
+    from pdf_parser_spark.functions import winnow_fingerprints
+
+    return winnow_fingerprints(_load(spark, sf_dir, "documents"))
+
+
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_LANG_ORACLE = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_html_extract": q_flagship_extract,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue": q3_top_revenue,
+        "window_latest_orders": q_window_latest_orders,
+        "events_hourly": q_events_hourly,
+        "token_top": q_token_top,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "quality_metrics": q_quality_metrics,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash64": q_simhash,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "lang_profile": q_lang_profile,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_html_extract": FLAGSHIP_ORACLE,
+        "q1_pricing_summary": Q1_ORACLE,
+        "q3_top_revenue": Q3_ORACLE,
+        "window_latest_orders": Q_WINDOW_ORACLE,
+        "events_hourly": Q_EVENTS_ORACLE,
+        "token_top": Q_TOKEN_ORACLE,
+        "dedup_exact": Q_DEDUP_EXACT_ORACLE,
+        "ngram_jaccard": Q_NGRAM_JACCARD_ORACLE,
+        "quality_metrics": Q_QUALITY_ORACLE,
+        "ann_cosine_topk": Q_ANN_ORACLE,
+        "lang_profile": Q_LANG_ORACLE,
+        # minhash_lsh / simhash64 / winnow_fingerprints: xxhash64-based,
+        # not expressible in DuckDB -> rows-only checks by design
+    }

@@ -1,0 +1,90 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Measures
+1. the headline __spark_entry__ queries at $SPARK_GRAFT_SF_DIR
+   (default /root/testdata/sf0.1), and
+2. end-to-end extraction throughput (docs/sec) on the deterministic
+   synthetic corpus (FIXTURES.md) — the BASELINE.md target metric.
+
+    python bench.py
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_DOCS (default
+2000), SPARK_GRAFT_BENCH_SKIP_EXTRACTION=1 to run queries only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    out: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        out[name] = round(time.time() - t0, 3)
+        _ = n
+    return out
+
+
+def bench_extraction(spark, n_docs: int) -> dict[str, float]:
+    from pdf_parser_spark.jobs.gen_corpus import corpus_df
+    from pdf_parser_spark.operators import extract_stage
+
+    corpus_path = f"/tmp/pps_bench_corpus_{n_docs}"
+    marker = os.path.join(corpus_path, "_SUCCESS")
+    if not os.path.exists(marker):
+        corpus_df(spark, n_docs).write.mode("overwrite").parquet(corpus_path)
+
+    df = spark.read.parquet(corpus_path)
+    t0 = time.time()
+    n_ok = extract_stage(df).filter("error IS NULL").count()
+    wall = time.time() - t0
+    return {
+        "docs": n_docs,
+        "docs_ok": n_ok,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 2),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    from pdf_parser_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    queries = bench_queries(spark, sf_dir)
+    extraction = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_EXTRACTION") != "1":
+        n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000"))
+        extraction = bench_extraction(spark, n_docs)
+    total = round(time.time() - t0, 3)
+    spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extraction": extraction,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,20 @@
+"""Training-data pipeline operators over document/embedding tables:
+deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
+search (brute-force + LSH-bucketed cosine top-k), and text analysis
+(token stats, quality scoring, language id, fingerprinting).
+
+Everything here is built from JVM-side pyspark.sql.functions expressions —
+no Python UDFs anywhere — so the plans stay inside whole-stage codegen
+and scale with the cluster.
+"""
+
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle,
+    simhash64,
+)
+from .similarity import brute_force_cosine_topk, lsh_cosine_topk  # noqa: F401
+from .quality import language_id, quality_metrics, winnow_fingerprints  # noqa: F401

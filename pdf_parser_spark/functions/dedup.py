@@ -1,0 +1,229 @@
+"""Deduplication operators for web-scale corpora.
+
+All pure DataFrame expressions (JVM-side, whole-stage-codegen friendly).
+Scale notes per operator are in the docstrings — these are the operators a
+10^12-document training-data pipeline runs before anything else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text with the
+    minimum id as keeper and the duplicate count.
+
+    Scale: a single hash-partitioned groupBy on sha2 — the map-side
+    partial agg collapses duplicates before the shuffle, so shuffle
+    volume is O(distinct), not O(rows)."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("text_sha"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingle(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingle) rows: word n-grams via sequence+transform+slice —
+    array ops stay in codegen; explode is the only row expansion."""
+    words = F.split(F.trim(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles)).alias("shingle"),
+    ).filter(F.length("shingle") > 0)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity >= threshold.
+
+    Classic candidate-join: pairs sharing >= 1 shingle, intersection from
+    the self-join, union by inclusion-exclusion. Scale: the self-join key
+    is the shingle — hot shingles explode quadratically, so a production
+    run FIRST drops stop-shingles (document frequency cap, here df<=100)
+    — the same move as CCNet/Gopher dedup pipelines."""
+    sh = shingle(df, n, text_col, id_col)
+    # stop-shingle cap: hot shingles contribute pairs quadratically
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df_count"))
+        .filter(F.col("df_count") <= 100)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(
+        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    sz_b = sizes.select(
+        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sz_a), "id_a")
+        .join(F.broadcast(sz_b), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures: num_perm permutations simulated as
+    xxhash64(perm_salt || shingle); signature = per-doc min per
+    permutation. One explode + one groupBy; all hashing JVM-side.
+
+    Scale: shuffle carries (doc_id, 8*num_perm bytes) — constant per doc
+    regardless of document size. num_perm=16 with 4-row bands gives the
+    standard S-curve around J~0.5 (b=4, r=4)."""
+    sh = shingle(df, n, text_col, id_col)
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"p{i}:"), F.col("shingle")))).alias(
+            f"mh_{i}"
+        )
+        for i in range(num_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + LSH banding near-dup detection: band-bucket join for
+    candidates, exact n-gram Jaccard verify.
+
+    Scale: candidates come from groupBy(band, band_hash) buckets —
+    quadratic blowup is bounded per bucket, and the verify join touches
+    only candidate pairs, never all pairs."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, num_perm, n, text_col, id_col)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*cols).alias("band_hash"),
+            )
+        )
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    # exact verify on candidates only
+    sh = shingle(df, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.withColumnRenamed("doc_id", "id_a")
+        .join(cand, "id_a")
+        .join(
+            sh.select(
+                F.col("doc_id").alias("id_b"), F.col("shingle")
+            ),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document: token hash bit-vote. Explode tokens,
+    xxhash64 each, sum a +/-1 vote per bit position, reassemble the sign
+    word. 64 aggregate expressions, all codegen.
+
+    Scale: same shape as minhash — one explode + one groupBy with
+    fixed-width state."""
+    words = F.split(F.trim(F.col(text_col)), " ")
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words).alias("token")
+    ).filter(F.length("token") > 0)
+    h = F.xxhash64("token")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bit_{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"bit_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("doc_id", sim.alias("simhash"))

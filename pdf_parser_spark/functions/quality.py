@@ -1,0 +1,109 @@
+"""Text analysis for training-data curation: token stats, quality
+scoring, language id, document fingerprinting. Pure column expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "fr": ["le", "la", "et", "de", "un", "une", "est", "que"],
+    "es": ["el", "la", "y", "de", "un", "una", "es", "que"],
+    "de": ["der", "die", "und", "das", "ein", "ist", "zu", "den"],
+}
+
+
+def quality_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style quality signals: token count, mean word length,
+    alpha/punct/digit ratios, stopword hit ratio, repetition ratio
+    (distinct/total tokens). All codegen expressions."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), " ")
+    n_tok = F.size(words)
+    n_chars = F.length(t)
+    en_stops = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(words, en_stops))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (n_chars.cast("double") / n_tok).alias("chars_per_token"),
+        (
+            F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+            / F.greatest(n_chars, F.lit(1))
+        ).alias("alpha_ratio"),
+        (
+            F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double")
+            / F.greatest(n_chars, F.lit(1))
+        ).alias("digit_ratio"),
+        (
+            F.size(F.array_distinct(words)).cast("double")
+            / F.greatest(n_tok, F.lit(1))
+        ).alias("distinct_token_ratio"),
+        (stop_hits.cast("double") / F.greatest(n_tok, F.lit(1))).alias(
+            "stopword_kind_ratio"
+        ),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rule-based language id: CJK codepoints -> zh; otherwise argmax of
+    per-language stopword-type hits (deterministic tie-break by language
+    code). A real pipeline swaps in fastText — the operator shape
+    (per-row classify, no shuffle) is identical."""
+    words = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), " "))
+    scores = []
+    for lang, stops in sorted(STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in stops])
+        scores.append(
+            F.struct(
+                F.size(F.array_intersect(words, arr)).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(has_cjk, F.lit("zh"))
+        .when(best["hits"] > 0, best["lang"])
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.): rolling hash
+    of k-grams of words, per-window minimum selection. Expressed with
+    sequence/transform/slice array ops; one explode at the end.
+
+    Output: (doc_id, fingerprint) rows — join two corpora on fingerprint
+    to find clone overlap at scale."""
+    words = F.split(F.trim(F.col(text_col)), " ")
+    n = F.size(words)
+    kgram_idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    hashes = F.transform(
+        kgram_idx,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k))),
+    )
+    win_idx = F.sequence(
+        F.lit(0), F.greatest(F.size(hashes) - window, F.lit(0))
+    )
+    mins = F.transform(
+        win_idx, lambda i: F.array_min(F.slice(hashes, i + 1, window))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(mins)).alias("fingerprint"),
+    )

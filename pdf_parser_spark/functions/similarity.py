@@ -1,0 +1,137 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the exact baseline; the LSH-bucketed variant
+is the scale path (candidate set shrinks by the bucket collision rate).
+Dot products run through F.aggregate/F.zip_with — JVM-side array math,
+no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def brute_force_cosine_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, rank per query. Scale: corpus side is never shuffled — the
+    broadcast-nested-loop join streams it once; ranking shuffles only
+    (n_queries * corpus) slim score rows, and at real scale you swap the
+    window for a per-partition top-k + merge (same semantics)."""
+    q = query_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic signed-random-projection hyperplanes (host-side
+    constants baked into the plan as literals)."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64([seed, dim, n_planes]))
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """SRP-LSH bucket id: sign bits of <v, plane_i> packed into a long."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec_col, arr) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k: signed-random-projection buckets, then
+    exact rerank WITHIN the query's bucket. Scale: the candidate join is
+    an equi-join on bucket id (shuffle-hash/broadcast, Catalyst picks),
+    touching ~corpus/2^n_planes rows per query instead of the corpus."""
+    planes = random_hyperplanes(dim, n_planes)
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = query_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

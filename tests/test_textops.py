@@ -1,0 +1,157 @@
+"""Training-data operators: dedup / similarity / quality invariants
+(hash-based ops have no SQL oracle, so properties are pinned here)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " today"),  # near dup of 0
+        (3, "completely different content about spark shuffles and joins"),
+        (4, "completely different content about spark shuffles and joins"),
+        (5, "unrelated short text"),
+        (6, "another standalone document mentioning embeddings and vectors"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    from pdf_parser_spark.functions import exact_dedup
+
+    out = {r.keeper_id: r.n_copies for r in exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0,1
+    assert out[3] == 2  # docs 3,4
+    assert out[2] == 1 and out[5] == 1 and out[6] == 1
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    from pdf_parser_spark.functions import ngram_jaccard_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (3, 4) in pairs and pairs[(3, 4)] == 1.0
+    assert not any({a, b} & {5, 6} for a, b in pairs)
+
+
+def test_minhash_lsh_superset_of_high_jaccard(docs):
+    from pdf_parser_spark.functions import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            docs, num_perm=16, bands=4, threshold=0.8
+        ).collect()
+    }
+    # identical docs share all minhashes -> always candidates; verify step
+    # guarantees no false positives above threshold
+    assert exact <= lsh or lsh <= exact  # same verify -> equal sets
+    assert (0, 1) in lsh and (3, 4) in lsh
+
+
+def test_simhash_locality(docs):
+    from pdf_parser_spark.functions import simhash64
+
+    h = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert h[0] == h[1]  # identical docs -> identical simhash
+    assert h[3] == h[4]
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(h[0], h[2]) < ham(h[0], h[3])  # near dup closer than unrelated
+
+
+def test_winnow_fingerprint_containment(docs):
+    from pdf_parser_spark.functions import winnow_fingerprints
+
+    fp = winnow_fingerprints(docs, k=4, window=3)
+    sets = {}
+    for r in fp.collect():
+        sets.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert sets[0] == sets[1]
+    inter02 = len(sets[0] & sets[2]) / len(sets[0] | sets[2])
+    inter03 = len(sets[0] & sets[3]) / len(sets[0] | sets[3])
+    assert inter02 > inter03
+
+
+def test_quality_metrics_values(spark):
+    from pdf_parser_spark.functions import quality_metrics
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "aa1 bb2")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in quality_metrics(df).collect()}
+    assert rows[1].n_tokens == 3
+    assert rows[1].n_chars == 11
+    assert rows[1].distinct_token_ratio == 1.0
+    assert abs(rows[2].alpha_ratio - 4 / 7) < 1e-9
+    assert abs(rows[2].digit_ratio - 2 / 7) < 1e-9
+
+
+def test_language_id(spark):
+    from pdf_parser_spark.functions import language_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "le chat et la maison est un que"),
+            (3, "der hund und die katze ist ein"),
+            (4, "这是 一个 中文 文档"),
+            (5, "xyzzy plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+    assert out[1] == "en" and out[2] == "fr" and out[3] == "de"
+    assert out[4] == "zh" and out[5] == "und"
+
+
+def test_cosine_topk_exact_vs_lsh(spark):
+    import numpy as np
+
+    from pdf_parser_spark.functions import (
+        brute_force_cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    base = rng.standard_normal((8, 16))
+    rows = []
+    for i in range(8):
+        rows.append((i, [float(x) for x in base[i]]))
+        rows.append((100 + i, [float(x) for x in base[i] + 0.01 * rng.standard_normal(16)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 8)
+
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_cosine_topk(emb, q, k=1).collect()
+    }
+    # nearest neighbor of each base vector is its perturbed twin
+    for i in range(8):
+        assert exact[(i, 1)] == 100 + i
+
+    approx = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in lsh_cosine_topk(emb, q, k=1, n_planes=4, dim=16).collect()
+    }
+    # the twin lands in the same SRP bucket with overwhelming probability;
+    # require it for at least 6 of 8 queries (deterministic seed)
+    hits = sum(1 for i in range(8) if approx.get((i, 1)) == 100 + i)
+    assert hits >= 6
