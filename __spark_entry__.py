@@ -301,7 +301,7 @@ WITH sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
            unnest(list_transform(
-             range(1, greatest(len(string_split(trim(text), ' ')) - 3, 0) + 2),
+             range(1, len(string_split(trim(text), ' ')) - 3 + 2),
              i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' ')
            )) AS shingle
     FROM documents

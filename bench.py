@@ -37,11 +37,14 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 def bench_extraction(spark, n_docs: int) -> dict[str, float]:
     from pdf_parser_spark.jobs.gen_corpus import corpus_df
     from pdf_parser_spark.operators import extract_stage
+    from pdf_parser_spark.session import tune_for_fat_binary_scan
+
+    tune_for_fat_binary_scan(spark)
 
     corpus_path = f"/tmp/pps_bench_corpus_{n_docs}"
     marker = os.path.join(corpus_path, "_SUCCESS")
     if not os.path.exists(marker):
-        corpus_df(spark, n_docs).write.mode("overwrite").parquet(corpus_path)
+        corpus_df(spark, n_docs).write.mode("overwrite").option("parquet.block.size", 16 * 1024 * 1024).parquet(corpus_path)
 
     df = spark.read.parquet(corpus_path)
     t0 = time.time()

@@ -42,9 +42,15 @@ def main() -> None:
     from pdf_parser_spark.session import get_spark
 
     spark = get_spark(app_name="gen-corpus")
-    corpus_df(spark, args.rows, args.partitions).write.mode(
-        "overwrite"
-    ).parquet(args.out)
+    (
+        corpus_df(spark, args.rows, args.partitions)
+        .write.mode("overwrite")
+        # small row groups: parquet splits cannot cross row-group
+        # boundaries, so MB-scale binary rows in 128 MB row groups would
+        # collapse maxPartitionBytes splits back to one-partition-per-file
+        .option("parquet.block.size", 16 * 1024 * 1024)
+        .parquet(args.out)
+    )
     n = spark.read.parquet(args.out).count()
     print(f"wrote {n} rows to {args.out}")
     spark.stop()

@@ -61,6 +61,13 @@ _TILE_LOOKUP = {TILES[i].tobytes(): ALPHABET[i] for i in range(len(ALPHABET))}
 _BLANK = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
 _TILE_LOOKUP[_BLANK.tobytes()] = " "
 
+# bit-packed lookup (12 bytes per tile) for the vectorized line decoder
+_PACKED_LOOKUP = {
+    np.packbits(TILES[i].reshape(-1)).tobytes(): ALPHABET[i]
+    for i in range(len(ALPHABET))
+}
+_PACKED_LOOKUP[np.packbits(_BLANK.reshape(-1)).tobytes()] = " "
+
 
 def render_line(page: np.ndarray, x: int, y: int, text: str) -> None:
     """Blit ``text`` onto grayscale ``page`` (uint8, 255=paper) at (x, y).
@@ -82,16 +89,29 @@ def decode_line(page: np.ndarray, x: int, y: int) -> str:
     binarized image (ink = pixel < 128). Trailing spaces stripped; an
     unknown tile ends the line."""
     h, w = page.shape
-    if y + GLYPH_H > h:
+    if y + GLYPH_H > h or x >= w:
         return ""
+    # vectorized: binarize + bit-pack the whole line strip in one numpy
+    # pass, then look tiles up by their 12-byte packed key (the
+    # tile-at-a-time variant was the second-hottest spot in the profile)
+    strip = page[y : y + GLYPH_H, x:] < 128
+    nt = strip.shape[1] // GLYPH_W
+    if nt == 0:
+        return ""
+    tiles = (
+        strip[:, : nt * GLYPH_W]
+        .reshape(GLYPH_H, nt, GLYPH_W)
+        .transpose(1, 0, 2)
+    )
+    packed = np.packbits(
+        np.ascontiguousarray(tiles).reshape(nt, GLYPH_H * GLYPH_W), axis=1
+    )
     chars: list[str] = []
-    while x + GLYPH_W <= w:
-        tile = page[y : y + GLYPH_H, x : x + GLYPH_W] < 128
-        ch = _TILE_LOOKUP.get(np.ascontiguousarray(tile).tobytes())
+    for row in packed:
+        ch = _PACKED_LOOKUP.get(row.tobytes())
         if ch is None:
             break
         chars.append(ch)
-        x += GLYPH_W
     return "".join(chars).rstrip(" ")
 
 

@@ -41,8 +41,45 @@ def threshold_binary_otsu(img: np.ndarray) -> np.ndarray:
     return np.where(img > t, np.uint8(255), np.uint8(0))
 
 
-def _sliding_min_1d(a: np.ndarray, window: int, axis: int) -> np.ndarray:
-    """Sliding-window minimum along ``axis`` with constant-0 padding and
+def _vanherk(ap: np.ndarray, window: int, op, identity: int, axis: int = 1) -> np.ndarray:
+    """van Herk/Gil-Werman running min/max over axis=1 of the padded
+    array: block prefix + suffix scans, then one elementwise combine —
+    3 passes total, O(1) memory reads per pixel regardless of window.
+    (A sliding_window_view + reduce formulation reads every pixel
+    ``window`` times; at 1 MB pages x 32 parallel Python workers that
+    saturates DRAM bandwidth and *inverts* core scaling — measured
+    local[32] slower than local[8] before this.)
+
+    Axis-native (no transposes): blocks are formed by reshaping the
+    filtered axis itself, so every accumulate pass streams row-contiguous
+    memory. Returns op over [j, j+window-1] for j in 0..m-window."""
+    if axis == 1:
+        h, m = ap.shape
+        nb = -(-m // window)
+        padded = np.full((h, nb * window), identity, dtype=ap.dtype)
+        padded[:, :m] = ap
+        blocks = padded.reshape(h, nb, window)
+        pref = op.accumulate(blocks, axis=2).reshape(h, nb * window)
+        suff = op.accumulate(blocks[:, :, ::-1], axis=2)[:, :, ::-1].reshape(
+            h, nb * window
+        )
+        return op(suff[:, : m - window + 1], pref[:, window - 1 : m])
+    m, w_cols = ap.shape
+    nb = -(-m // window)
+    padded = np.full((nb * window, w_cols), identity, dtype=ap.dtype)
+    padded[:m, :] = ap
+    blocks = padded.reshape(nb, window, w_cols)
+    pref = op.accumulate(blocks, axis=1).reshape(nb * window, w_cols)
+    suff = op.accumulate(blocks[:, ::-1, :], axis=1)[:, ::-1, :].reshape(
+        nb * window, w_cols
+    )
+    return op(suff[: m - window + 1, :], pref[window - 1 : m, :])
+
+
+def _sliding_1d(
+    a: np.ndarray, window: int, axis: int, op, identity: int
+) -> np.ndarray:
+    """Sliding-window min/max along ``axis`` with constant-0 padding and
     cv2-style anchor (window // 2)."""
     if window <= 1:
         return a
@@ -51,20 +88,15 @@ def _sliding_min_1d(a: np.ndarray, window: int, axis: int) -> np.ndarray:
     pads = [(0, 0), (0, 0)]
     pads[axis] = (pad_before, pad_after)
     ap = np.pad(a, pads, mode="constant", constant_values=0)
-    win = np.lib.stride_tricks.sliding_window_view(ap, window, axis=axis)
-    return win.min(axis=-1)
+    return _vanherk(ap, window, op, identity, axis)
+
+
+def _sliding_min_1d(a: np.ndarray, window: int, axis: int) -> np.ndarray:
+    return _sliding_1d(a, window, axis, np.minimum, 255)
 
 
 def _sliding_max_1d(a: np.ndarray, window: int, axis: int) -> np.ndarray:
-    if window <= 1:
-        return a
-    pad_before = window // 2
-    pad_after = window - 1 - pad_before
-    pads = [(0, 0), (0, 0)]
-    pads[axis] = (pad_before, pad_after)
-    ap = np.pad(a, pads, mode="constant", constant_values=0)
-    win = np.lib.stride_tricks.sliding_window_view(ap, window, axis=axis)
-    return win.max(axis=-1)
+    return _sliding_1d(a, window, axis, np.maximum, 0)
 
 
 def erode_rect(img: np.ndarray, kw: int, kh: int, iterations: int = 1) -> np.ndarray:

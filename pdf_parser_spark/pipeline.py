@@ -88,6 +88,9 @@ def run_extraction(
     checkpoints). ``max_waves`` stops early after that many waves — the
     test harness uses it to simulate a mid-run kill.
     """
+    from .session import tune_for_fat_binary_scan
+
+    tune_for_fat_binary_scan(spark)
     io = TableIO(spark, out_root)
     already = set(done_parts(io, run_id))
     all_parts = list(range(n_parts))

@@ -4,9 +4,12 @@ Every knob is chosen for the 100 TB design point and merely *works* at
 local[32] (SURVEY.md §4):
 
 - AQE on: runtime shuffle coalescing + skew-join splitting;
-- Arrow on + small record batches: pages are MB-scale fat rows, so a
-  64-row Arrow batch keeps executor-python memory bounded (the analogue
-  of the reference's 5-file OCR waves, pdfService.js:89-94);
+- Arrow on + small record batches: pages are MB-scale fat rows; an
+  8-row Arrow batch keeps the JVM-side ArrowWriter vectors small enough
+  to dodge humongous-allocation GC churn (measured: batch=8 is 2x
+  faster than batch=64 at local[32] on the mixed corpus) and bounds
+  executor-python memory (the analogue of the reference's 5-file OCR
+  waves, pdfService.js:89-94);
 - python worker reuse: the UDF stages are called per batch, fork cost
   must amortize;
 - shuffle partitions sized for the local harness; a cluster submit
@@ -19,7 +22,18 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 64
+ARROW_BATCH_ROWS = 8
+
+
+def tune_for_fat_binary_scan(spark: SparkSession) -> None:
+    """Session settings for reading tables with MB-scale binary columns
+    (the crawl input table). The parquet vectorized reader sizes its
+    column batches in ROWS (default 4096) — with ~1-3 MB ``html`` values
+    that is multi-GB of contiguous vector per task, which OOMs or
+    GC-thrashes a 32-task executor. 32-row reader batches cap per-task
+    scan memory at ~100 MB. Thin relational tables keep the default
+    (a 32-row batch costs ~3x on pure-scan throughput there)."""
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "32")
 
 
 def get_spark(

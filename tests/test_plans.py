@@ -1,0 +1,106 @@
+"""Physical-plan shape guards (the ".explain and iterate" mandate):
+structural properties that make the 100 TB plan right — column pruning
+to the scan, broadcast for small dims, map-side partial aggregation,
+no stray shuffles — pinned as substring assertions on the explain output."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+import re
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+
+
+def count_nodes(plan: str, name: str) -> int:
+    """Count physical operator nodes in a formatted plan (the node-detail
+    section repeats each name, so a raw substring count double-counts)."""
+    return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, corpus_df, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "corpus")
+    corpus_df.write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_extract_scan_prunes_to_url_html(spark, corpus_path):
+    from pdf_parser_spark.operators import extract_stage
+
+    df = extract_stage(spark.read.parquet(corpus_path))
+    plan = plan_of(df)
+    # the parquet scan must read ONLY url + html (column pruning through
+    # the mapInPandas projection); warc_ts/text/lang never leave the scan
+    assert "ReadSchema" in plan
+    read_schema = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ][0]
+    assert "url" in read_schema and "html" in read_schema
+    assert "warc_ts" not in read_schema
+    assert "lang" not in read_schema
+
+
+def test_salted_repartition_single_exchange(spark, corpus_path):
+    from pdf_parser_spark.operators import extract_stage
+    from pdf_parser_spark.pipeline import with_part_id
+
+    base = with_part_id(spark.read.parquet(corpus_path), 16)
+    staged = base.select("url", "html", "part_id").repartition(8, "part_id")
+    plan = plan_of(extract_stage(staged))
+    # exactly one Exchange (the salted repartition) in the whole pipeline
+    assert count_nodes(plan, "Exchange") == 1
+    assert "REPARTITION_BY_NUM" in plan
+
+
+def test_q3_broadcasts_customer(spark):
+    import __spark_entry__ as m
+
+    plan = plan_of(m.q3_top_revenue(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    # the customer filter is pushed into the scan
+    assert "PushedFilters: [IsNotNull(c_mktsegment)" in plan or (
+        "EqualTo(c_mktsegment,BUILDING)" in plan
+    )
+
+
+def test_q1_partial_aggregation(spark):
+    import __spark_entry__ as m
+
+    plan = plan_of(m.q1_pricing_summary(spark, "/root/testdata/sf0.001"))
+    # map-side combine: HashAggregate appears before AND after the exchange
+    assert count_nodes(plan, "HashAggregate") >= 2
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_dedup_exact_partial_agg(spark):
+    from pdf_parser_spark.functions import exact_dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(exact_dedup(d))
+    assert count_nodes(plan, "HashAggregate") >= 2
+
+
+def test_ann_broadcast_no_shuffle_of_corpus(spark):
+    import __spark_entry__ as m
+
+    plan = plan_of(m.q_ann_cosine_topk(spark, "/root/testdata/sf0.001"))
+    # query side broadcast; corpus side streamed
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_on_relational_path(spark):
+    import __spark_entry__ as m
+
+    # codegen span markers ('*(n)') appear in simple mode only once AQE
+    # has resolved the final plan -> execute first
+    df = m.q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = plan_of(df, "simple")
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan

@@ -1,0 +1,71 @@
+"""Streaming ingest: exactly-once incremental extraction + watermarked
+windowed rollup (pdf_parser_spark/streaming)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_spark import schemas
+from pdf_parser_spark.streaming import stream_extract, stream_hourly_rollup
+from pdf_parser_spark.synth import gen_rows
+
+
+@pytest.mark.timeout(300)
+def test_stream_extract_incremental(spark, tmp_path):
+    inp = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = spark.createDataFrame(list(gen_rows(30)), schemas.INPUT)
+    batch1.write.mode("append").parquet(inp)
+
+    q = stream_extract(spark, inp, out, ckpt)
+    q.awaitTermination(240)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 30
+
+    # new files arrive -> resume from checkpoint processes ONLY them
+    batch2 = spark.createDataFrame(list(gen_rows(20, start=30)), schemas.INPUT)
+    batch2.write.mode("append").parquet(inp)
+
+    q2 = stream_extract(spark, inp, out, ckpt)
+    q2.awaitTermination(240)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 50
+    assert got2.select("url").distinct().count() == 50  # exactly-once
+
+
+def test_stream_hourly_rollup_matches_batch(spark, tmp_path):
+    ev_path = "/root/testdata/sf0.001/events.parquet"
+    events = spark.read.parquet(ev_path)
+    feed = str(tmp_path / "events")
+    events.write.mode("overwrite").parquet(feed)
+
+    stream = spark.readStream.schema(events.schema).parquet(feed)
+    rolled = stream_hourly_rollup(stream)
+    out = str(tmp_path / "rollup_out")
+    q = (
+        rolled.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "rollup_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = spark.read.parquet(out)
+    batch = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    # append mode emits only windows SEALED by the watermark; every
+    # emitted window must match the batch rollup exactly
+    emitted = {(r.hour, r.event_type): (r.n_events, r.sum_value) for r in got.collect()}
+    full = {(r.hour, r.event_type): (r.n_events, r.sum_value) for r in batch.collect()}
+    assert emitted, "no sealed windows emitted"
+    for k, v in emitted.items():
+        assert k in full and abs(v[1] - full[k][1]) < 1e-6 and v[0] == full[k][0]
