@@ -40,7 +40,7 @@ df = spark.read.parquet({corpus!r})
 _ = extract_stage(df).filter("error IS NULL").count()
 walls = []
 n = 0
-for _i in range(2):
+for _i in range(3):
     t0 = time.time()
     n = extract_stage(df).filter("error IS NULL").count()
     walls.append(time.time() - t0)

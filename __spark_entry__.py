@@ -412,6 +412,94 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_load(spark, sf_dir, "documents"))
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (SURVEY.md §2.4 grouping-sets coverage)."""
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+Q_ROLLUP_ORACLE = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag(): a new session starts after a >30 min gap
+    per user; output session counts/lengths (window-function coverage on
+    the event stream, the batch analogue of session windows)."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ -> seconds
+    gap = epoch - F.lag(epoch).over(w)
+    sess = (
+        ev.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .withColumn("session_no", F.sum("new_sess").over(w))
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("sum_value"), 4).alias("total_value"),
+        )
+    )
+
+
+Q_SESSIONIZE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess,
+         ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, session_no, count(*) AS n_events,
+         round(sum(value), 4) AS sum_value
+  FROM sess GROUP BY user_id, session_no
+)
+SELECT user_id, count(*) AS n_sessions,
+       max(n_events) AS max_session_events,
+       round(sum(sum_value), 4) AS total_value
+FROM per_session GROUP BY user_id
+"""
+
+
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return (
@@ -447,6 +535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash64": q_simhash,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "rollup_revenue": q_rollup_revenue,
+        "sessionize": q_sessionize,
         "lang_profile": q_lang_profile,
     }
 
@@ -463,6 +553,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": Q_NGRAM_JACCARD_ORACLE,
         "quality_metrics": Q_QUALITY_ORACLE,
         "ann_cosine_topk": Q_ANN_ORACLE,
+        "rollup_revenue": Q_ROLLUP_ORACLE,
+        "sessionize": Q_SESSIONIZE_ORACLE,
         "lang_profile": Q_LANG_ORACLE,
         # minhash_lsh / simhash64 / winnow_fingerprints: xxhash64-based,
         # not expressible in DuckDB -> rows-only checks by design

@@ -120,7 +120,21 @@ def run_extraction(
         # instead of carrying/joining it through the stage (no extra
         # shuffle, and the stage schema stays pure)
         results = with_part_id(extract_stage(subset), n_parts)
+        # A4 analogue (SURVEY.md §2.4): df.observe rides the write job —
+        # zero extra passes — and lands in the lineage metrics map
+        from pyspark.sql import Observation
+
+        obs = Observation(f"wave-{waves_run}")
+        results = results.observe(
+            obs,
+            F.count(F.lit(1)).alias("obs_docs"),
+            F.sum(
+                F.when(F.col("error").isNotNull(), 1).otherwise(0)
+            ).alias("obs_errs"),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("obs_chars"),
+        )
         io.overwrite_partitions(results, EXTRACTED_TABLE, "part_id")
+        observed = {k: float(v or 0) for k, v in obs.get.items()}
 
         # lineage from what was COMMITTED
         committed = (
@@ -150,7 +164,10 @@ def run_extraction(
             F.lit(started).cast("timestamp").alias("started_at"),
             F.lit(finished).cast("timestamp").alias("finished_at"),
             F.create_map(
-                F.lit("wall_sec"), F.lit(finished - started),
+                F.lit("wall_sec"), F.lit(float(finished - started)),
+                F.lit("obs_docs"), F.lit(observed.get("obs_docs", 0.0)),
+                F.lit("obs_errs"), F.lit(observed.get("obs_errs", 0.0)),
+                F.lit("obs_chars"), F.lit(observed.get("obs_chars", 0.0)),
             ).alias("metrics"),
         )
         # schema-align with schemas.LINEAGE
