@@ -500,6 +500,16 @@ FROM per_session GROUP BY user_id
 """
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over documents text (hashed-BoW embed +
+    SRP-LSH candidates + exact verify; xxhash64-based -> rows-only)."""
+    from pdf_parser_spark.functions import embedding_near_dup
+
+    return embedding_near_dup(
+        _load(spark, sf_dir, "documents"), threshold=0.95
+    )
+
+
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return (
@@ -537,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
+        "embedding_near_dup": q_embedding_near_dup,
         "lang_profile": q_lang_profile,
     }
 

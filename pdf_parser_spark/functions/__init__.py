@@ -9,7 +9,9 @@ and scale with the cluster.
 """
 
 from .dedup import (  # noqa: F401
+    embedding_near_dup,
     exact_dedup,
+    hashed_bow_embedding,
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,

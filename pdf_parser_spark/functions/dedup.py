@@ -213,6 +213,72 @@ def minhash_lsh_candidates(
     return out
 
 
+def hashed_bow_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cheap text embedding: hashed bag-of-words — tokens bucketed by
+    xxhash64 mod dim, L2-normalized counts. One explode + one groupBy
+    with ``dim`` codegen aggregates; the embedding column then feeds the
+    similarity operators unchanged (a real model swaps in via the same
+    (id, array<float>) contract)."""
+    words = F.split(F.trim(F.col(text_col)), " ")
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words).alias("token")
+    ).filter(F.length("token") > 0)
+    bucket = F.pmod(F.xxhash64("token"), F.lit(dim))
+    counts = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(bucket == i, 1).otherwise(0)).alias(f"b{i}")
+            for i in range(dim)
+        ]
+    )
+    vec = F.array(*[F.col(f"b{i}").cast("double") for i in range(dim)])
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+        )
+    )
+    return counts.select(
+        "doc_id",
+        F.transform(
+            vec, lambda x: (x / F.greatest(norm, F.lit(1e-12))).cast("float")
+        ).alias("embedding"),
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: hashed-BoW embed, SRP-LSH bucket
+    for candidates, exact cosine verify >= threshold. The scale path for
+    semantic dedup: candidate volume ~ corpus / 2^n_planes per bucket."""
+    from .similarity import lsh_cosine_topk
+
+    emb = hashed_bow_embedding(df, dim, text_col, id_col).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    topk = lsh_cosine_topk(emb, emb, k=8, n_planes=8, dim=dim)
+    return (
+        topk.filter(
+            (F.col("cosine") >= threshold)
+            & (F.col("query_id") < F.col("neighbor_id"))
+        )
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .distinct()
+    )
+
+
 def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -155,3 +155,22 @@ def test_cosine_topk_exact_vs_lsh(spark):
     # require it for at least 6 of 8 queries (deterministic seed)
     hits = sum(1 for i in range(8) if approx.get((i, 1)) == 100 + i)
     assert hits >= 6
+
+
+def test_embedding_near_dup(docs):
+    from pdf_parser_spark.functions import embedding_near_dup, hashed_bow_embedding
+
+    emb = hashed_bow_embedding(docs, dim=32)
+    rows = {r.doc_id: r.embedding for r in emb.collect()}
+    assert len(rows) == 7
+    assert abs(sum(x * x for x in rows[0]) - 1.0) < 1e-5  # unit norm
+    assert rows[0] == rows[1]  # identical docs -> identical embedding
+
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup(docs, threshold=0.9, dim=32).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0
+    assert pairs.get((3, 4)) == 1.0
+    assert (0, 2) in pairs  # near-dup survives the 0.9 threshold
+    assert not any({a, b} & {5, 6} for a, b in pairs)
