@@ -362,7 +362,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    out = brute_force_cosine_topk(emb, q, k=5)
+    out = brute_force_cosine_topk(emb, q, k=5, dim=64)
     return out.select("query_id", "neighbor_id", "rank")
 
 
@@ -500,6 +500,14 @@ FROM per_session GROUP BY user_id
 """
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash band-bucket near-dup pairs (rows-only; invariants pinned
+    in tests/test_textops.py)."""
+    from pdf_parser_spark.functions import simhash_near_dup
+
+    return simhash_near_dup(_load(spark, sf_dir, "documents"), max_hamming=12)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over documents text (hashed-BoW embed +
     SRP-LSH candidates + exact verify; xxhash64-based -> rows-only)."""
@@ -548,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
         "embedding_near_dup": q_embedding_near_dup,
+        "simhash_near_dup": q_simhash_near_dup,
         "lang_profile": q_lang_profile,
     }
 

@@ -17,6 +17,7 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     shingle,
     simhash64,
+    simhash_near_dup,
 )
 from .similarity import brute_force_cosine_topk, lsh_cosine_topk  # noqa: F401
 from .quality import language_id, quality_metrics, winnow_fingerprints  # noqa: F401

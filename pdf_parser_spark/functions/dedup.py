@@ -213,6 +213,57 @@ def minhash_lsh_candidates(
     return out
 
 
+def simhash_near_dup(
+    df: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit simhash, 4x16-bit band buckets for
+    candidates (pigeonhole: any pair within hamming distance 3 shares at
+    least one exact band; wider distances are caught probabilistically),
+    then exact popcount verify <= max_hamming.
+
+    Scale: same bucket-join shape as MinHash-LSH — quadratic work is
+    bounded per 16-bit-band bucket."""
+    sig = simhash64(df, text_col, id_col)
+    bands = []
+    for b in range(4):
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("band_val"),
+            )
+        )
+    buckets = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("bk")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_val").alias("band_val"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def hashed_bow_embedding(
     df: DataFrame,
     dim: int = 64,
@@ -259,22 +310,30 @@ def embedding_near_dup(
     """Embedding-cosine near-dup pairs: hashed-BoW embed, SRP-LSH bucket
     for candidates, exact cosine verify >= threshold. The scale path for
     semantic dedup: candidate volume ~ corpus / 2^n_planes per bucket."""
-    from .similarity import lsh_cosine_topk
+    from .similarity import _dot, _norm, lsh_bucket, random_hyperplanes
 
-    emb = hashed_bow_embedding(df, dim, text_col, id_col).withColumnRenamed(
-        "doc_id", "vec_id"
+    planes = random_hyperplanes(dim, 8)
+    emb = hashed_bow_embedding(df, dim, text_col, id_col).withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), planes)
     )
-    topk = lsh_cosine_topk(emb, emb, k=8, n_planes=8, dim=dim)
+    # all-pairs via SHUFFLE self-join on bucket: both sides share an
+    # identical subplan, so AQE reuses one exchange instead of computing
+    # the embedding pipeline twice (a broadcast here would force two
+    # materializations and defeat the reuse)
+    a = emb.select(
+        F.col("doc_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+    )
+    b = emb.select(
+        F.col("doc_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    cos = _dot(F.col("va"), F.col("vb"), dim) / (
+        _norm(F.col("va"), dim) * _norm(F.col("vb"), dim)
+    )
     return (
-        topk.filter(
-            (F.col("cosine") >= threshold)
-            & (F.col("query_id") < F.col("neighbor_id"))
-        )
-        .select(
-            F.col("query_id").alias("id_a"),
-            F.col("neighbor_id").alias("id_b"),
-            F.round("cosine", 6).alias("cosine"),
-        )
+        a.join(b.hint("shuffle_hash"), "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
         .distinct()
     )
 

