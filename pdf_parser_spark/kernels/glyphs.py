@@ -98,6 +98,8 @@ def decode_line(page: np.ndarray, x: int, y: int) -> str:
     nt = strip.shape[1] // GLYPH_W
     if nt == 0:
         return ""
+    if not strip.any():
+        return ""  # blank line: all tiles decode to spaces -> rstrip -> ""
     tiles = (
         strip[:, : nt * GLYPH_W]
         .reshape(GLYPH_H, nt, GLYPH_W)
