@@ -131,7 +131,25 @@ def connected_components(binary: np.ndarray) -> tuple[np.ndarray, int]:
     h, w = binary.shape
     fg = binary != 0
     labels = np.zeros((h, w), dtype=np.int32)
-    parent: list[int] = [0]  # parent[i] for union-find; 0 = background
+
+    # 1) extract ALL runs in one vectorized pass: pad a sentinel column of
+    #    zeros on each side so every run starts and ends within its row
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = fg
+    d = np.diff(padded, axis=1)
+    ys_s, starts = np.nonzero(d == 1)  # run starts (column index in 0..w-1)
+    ys_e, ends = np.nonzero(d == -1)  # run ends (exclusive)
+    n_runs = len(starts)
+    if n_runs == 0:
+        return labels, 0
+    # np.nonzero is row-major, so starts/ends pair up per row in order
+    assert (ys_s == ys_e).all()
+
+    # 2) union-find over run-adjacency edges: run i (row y) touches run j
+    #    (row y-1) iff starts[i] < ends[j] and ends[i] > starts[j].
+    #    Edges found via searchsorted against the previous row's runs.
+    row_first = np.searchsorted(ys_s, np.arange(h + 1))  # run range per row
+    parent = np.arange(n_runs, dtype=np.int64)
 
     def find(x: int) -> int:
         root = x
@@ -141,60 +159,37 @@ def connected_components(binary: np.ndarray) -> tuple[np.ndarray, int]:
             parent[x], x = root, parent[x]
         return root
 
-    prev_runs: list[tuple[int, int, int]] = []  # (start, end, label) of row above
-    for y in range(h):
-        row = fg[y]
-        if not row.any():
-            prev_runs = []
+    for y in range(1, h):
+        a0, a1 = row_first[y], row_first[y + 1]  # runs in row y
+        p0, p1 = row_first[y - 1], row_first[y]  # runs in row y-1
+        if a0 == a1 or p0 == p1:
             continue
-        d = np.diff(row.astype(np.int8))
-        starts = list(np.flatnonzero(d == 1) + 1)
-        ends = list(np.flatnonzero(d == -1) + 1)
-        if row[0]:
-            starts.insert(0, 0)
-        if row[-1]:
-            ends.append(w)
-        cur_runs: list[tuple[int, int, int]] = []
-        pi = 0
-        for s, e in zip(starts, ends):
-            lab = 0
-            # merge with all overlapping runs in the previous row
-            while pi < len(prev_runs) and prev_runs[pi][1] <= s:
-                pi += 1
-            pj = pi
-            while pj < len(prev_runs) and prev_runs[pj][0] < e:
-                plab = find(prev_runs[pj][2])
-                if lab == 0:
-                    lab = plab
-                elif plab != lab:
-                    parent[max(plab, lab)] = min(plab, lab)
-                    lab = min(plab, lab)
-                pj += 1
-            if lab == 0:
-                parent.append(len(parent))
-                lab = len(parent) - 1
-            labels[y, s:e] = lab
-            cur_runs.append((s, e, lab))
-        prev_runs = cur_runs
+        # for each run i in row y: overlapping prev runs are those with
+        # start < ends[i] and end > starts[i] — a contiguous range because
+        # runs are sorted and disjoint
+        lo = np.searchsorted(ends[p0:p1], starts[a0:a1], side="right")
+        hi = np.searchsorted(starts[p0:p1], ends[a0:a1], side="left")
+        for k in range(a1 - a0):
+            for j in range(lo[k], hi[k]):
+                ra, rb = find(a0 + k), find(p0 + j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    # 3) renumber roots 1..n in first-encounter (row-major) order and
+    #    paint all run spans with one vectorized flat assignment
+    roots = np.array([find(i) for i in range(n_runs)], dtype=np.int64)
+    uniq, first_idx = np.unique(roots, return_index=True)
+    order = np.argsort(first_idx)
+    remap = np.empty(len(uniq), dtype=np.int32)
+    remap[order] = np.arange(1, len(uniq) + 1, dtype=np.int32)
+    run_labels = remap[np.searchsorted(uniq, roots)]
 
-    if len(parent) == 1:
-        return labels, 0
-    # flatten and renumber labels 1..n in first-encounter (row-major) order
-    roots = np.array([find(i) for i in range(len(parent))], dtype=np.int32)
-    remap = np.zeros(len(parent), dtype=np.int32)
-    nxt = 0
-    flat = labels.ravel()
-    order_roots = roots[flat[flat != 0]]
-    # first-encounter order of roots in row-major scan (vectorized):
-    uniq, first_idx = np.unique(order_roots, return_index=True)
-    seen: dict[int, int] = {}
-    for rank, r in enumerate(uniq[np.argsort(first_idx)], start=1):
-        seen[int(r)] = rank
-        nxt = rank
-    for i in range(1, len(parent)):
-        remap[i] = seen.get(int(roots[i]), 0)
-    labels = remap[labels]
-    return labels, nxt
+    lengths = ends - starts
+    total = int(lengths.sum())
+    span_starts = np.cumsum(lengths) - lengths
+    offsets = np.arange(total) - np.repeat(span_starts, lengths)
+    flat_idx = np.repeat(ys_s * w + starts, lengths) + offsets
+    labels.ravel()[flat_idx] = np.repeat(run_labels, lengths)
+    return labels, len(uniq)
 
 
 def component_bboxes(labels: np.ndarray, n: int) -> list[tuple[int, int, int, int]]:
