@@ -412,6 +412,49 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_load(spark, sf_dir, "documents"))
 
 
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join coverage (SURVEY.md §2.3): per-nation counts of
+    customers with and without orders."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    a = with_orders.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_with_orders")
+    )
+    b = without.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_without_orders")
+    )
+    return (
+        a.join(b, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q_SEMI_ANTI_ORACLE = """
+WITH w AS (
+  SELECT c_nationkey, count(*) AS n_with_orders
+  FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+  GROUP BY c_nationkey
+),
+wo AS (
+  SELECT c_nationkey, count(*) AS n_without_orders
+  FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+  GROUP BY c_nationkey
+)
+SELECT coalesce(w.c_nationkey, wo.c_nationkey) AS c_nationkey,
+       coalesce(n_with_orders, 0) AS n_with_orders,
+       coalesce(n_without_orders, 0) AS n_without_orders
+FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey
+ORDER BY 1
+"""
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (SURVEY.md §2.4 grouping-sets coverage)."""
     o = _load(spark, sf_dir, "orders")
@@ -554,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": q_simhash,
         "winnow_fingerprints": q_winnow_fingerprints,
         "rollup_revenue": q_rollup_revenue,
+        "semi_anti_customers": q_semi_anti_customers,
         "sessionize": q_sessionize,
         "embedding_near_dup": q_embedding_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -574,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_metrics": Q_QUALITY_ORACLE,
         "ann_cosine_topk": Q_ANN_ORACLE,
         "rollup_revenue": Q_ROLLUP_ORACLE,
+        "semi_anti_customers": Q_SEMI_ANTI_ORACLE,
         "sessionize": Q_SESSIONIZE_ORACLE,
         "lang_profile": Q_LANG_ORACLE,
         # minhash_lsh / simhash64 / winnow_fingerprints: xxhash64-based,
