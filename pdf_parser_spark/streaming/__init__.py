@@ -9,4 +9,8 @@ gives exactly-once incremental ingest that complements the batch
 lineage/resume path.
 """
 
-from .ingest import stream_extract, stream_hourly_rollup  # noqa: F401
+from .ingest import (  # noqa: F401
+    stream_extract,
+    stream_hourly_rollup,
+    stream_sessionize,
+)

@@ -47,6 +47,34 @@ def stream_extract(
     return writer.start()
 
 
+def stream_sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming session windows: per-user sessions that close after
+    ``gap`` of inactivity (native session_window — state management,
+    merging and watermark eviction are Spark's). The streaming analogue
+    of the batch lag()-sessionize query in __spark_entry__."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("win"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1-hour window per event_type with late-data watermark —
     apply to a streaming DataFrame with ts/event_type/value columns."""

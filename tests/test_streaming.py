@@ -69,3 +69,54 @@ def test_stream_hourly_rollup_matches_batch(spark, tmp_path):
     assert emitted, "no sealed windows emitted"
     for k, v in emitted.items():
         assert k in full and abs(v[1] - full[k][1]) < 1e-6 and v[0] == full[k][0]
+
+
+def test_stream_sessionize_matches_batch_sessions(spark, tmp_path):
+    """Sealed streaming session windows must agree with the batch
+    lag()-based sessionization on (user, n_events) per session."""
+    from pyspark.sql import Window
+
+    from pdf_parser_spark.streaming import stream_sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    feed = str(tmp_path / "sess_events")
+    events.write.mode("overwrite").parquet(feed)
+
+    stream = spark.readStream.schema(events.schema).parquet(feed)
+    out = str(tmp_path / "sess_out")
+    q = (
+        stream_sessionize(stream, gap="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+
+    # batch reference: lag-gap sessionization (same 30-min rule)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = (
+        events.withColumn(
+            "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn("session_no", F.sum("new_sess").over(w))
+        .groupBy("user_id", "session_no")
+        .agg(F.count("*").alias("n_events"))
+    )
+    # every sealed streaming session exists in the batch session multiset
+    from collections import Counter
+
+    batch_counter = Counter(
+        (r.user_id, r.n_events) for r in sess.collect()
+    )
+    stream_counter = Counter(
+        (r.user_id, r.n_events) for r in got.collect()
+    )
+    for key, cnt in stream_counter.items():
+        assert batch_counter[key] >= cnt, key
