@@ -75,6 +75,50 @@ def stream_sessionize(
     )
 
 
+def stream_dedup(docs: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator via applyInPandasWithState:
+    exact dedup across the whole stream — the first document with a given
+    content sha passes, every later duplicate is dropped, no matter how
+    far apart they arrive. State per sha: the count seen so far.
+
+    This is the crawl-ingest dedup a training-data pipeline runs before
+    anything else; the batch analogue is functions.dedup.exact_dedup.
+    Scale: state is keyed by sha (uniform), value is 8 bytes — the state
+    store grows with DISTINCT docs only.
+
+    Input: streaming (url, doc_sha) rows. Output: the surviving rows plus
+    a running dup_index (0 for first occurrence)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def dedup_fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (sha,) = key
+        seen = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            for url in pdf["url"]:
+                if seen == 0:
+                    out.append({"doc_sha": sha, "url": url, "dup_index": 0})
+                seen += 1
+        state.update((seen,))
+        yield pd.DataFrame(
+            out, columns=["doc_sha", "url", "dup_index"]
+        )
+
+    return docs.groupBy("doc_sha").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="doc_sha string, url string, dup_index int",
+        stateStructType="seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1-hour window per event_type with late-data watermark —
     apply to a streaming DataFrame with ts/event_type/value columns."""

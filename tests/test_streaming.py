@@ -120,3 +120,43 @@ def test_stream_sessionize_matches_batch_sessions(spark, tmp_path):
     )
     for key, cnt in stream_counter.items():
         assert batch_counter[key] >= cnt, key
+
+
+def test_stream_dedup_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState exact dedup: first sha occurrence passes,
+    duplicates drop within AND across batches (state persists through
+    checkpoint restarts)."""
+    from pdf_parser_spark.streaming import stream_dedup
+
+    feed = str(tmp_path / "dfeed")
+    out = str(tmp_path / "dout")
+    ck = str(tmp_path / "dck")
+
+    def run():
+        s = spark.readStream.schema("url string, doc_sha string").parquet(feed)
+        q = (
+            stream_dedup(s)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(200)
+
+    spark.createDataFrame(
+        [("u1", "sha_a"), ("u2", "sha_b"), ("u3", "sha_a")],
+        ["url", "doc_sha"],
+    ).write.mode("append").parquet(feed)
+    run()
+    got1 = sorted((r.url, r.doc_sha) for r in spark.read.parquet(out).collect())
+    assert got1 == [("u1", "sha_a"), ("u2", "sha_b")]
+
+    spark.createDataFrame(
+        [("u4", "sha_b"), ("u5", "sha_c"), ("u6", "sha_a")],
+        ["url", "doc_sha"],
+    ).write.mode("append").parquet(feed)
+    run()
+    got2 = sorted((r.url, r.doc_sha) for r in spark.read.parquet(out).collect())
+    assert got2 == [("u1", "sha_a"), ("u2", "sha_b"), ("u5", "sha_c")]
