@@ -548,7 +548,7 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_textops.py)."""
     from pdf_parser_spark.functions import simhash_near_dup
 
-    return simhash_near_dup(_load(spark, sf_dir, "documents"), max_hamming=12)
+    return simhash_near_dup(_load(spark, sf_dir, "documents"), max_hamming=6)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
