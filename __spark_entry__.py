@@ -561,6 +561,56 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF/raster path through the fused stage: deterministic RSTR docs
+    (glyph-rendered clause documents with ruled tables, FIXTURES.md §2-3)
+    keyed by documents.doc_id, extracted distributed, summarized per doc.
+    Rows-only for the driver (glyph OCR is not SQL-expressible);
+    byte-identity vs the single-process oracle is asserted in
+    tests/test_spark_equivalence.py."""
+    import pandas as pd
+
+    from pdf_parser_spark import schemas
+    from pdf_parser_spark.operators import extract_stage
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id").limit(48)
+
+    def synth(batches):
+        from datetime import datetime, timedelta, timezone
+
+        from pdf_parser_spark.synth import make_pdf_doc
+
+        epoch = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = 14 + 20 * int(doc_id)  # pdf-kind synth indices
+                d = make_pdf_doc(i)
+                rows.append(
+                    {
+                        "url": f"rstr://doc/{int(doc_id)}",
+                        "warc_ts": epoch + timedelta(seconds=int(doc_id)),
+                        "html": d.blob,
+                        "text": "",
+                        "lang": "en",
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    pages = docs.mapInPandas(synth, schema=schemas.INPUT)
+    out = extract_stage(pages)
+    return out.select(
+        "url",
+        "n_pages",
+        F.size(F.coalesce("clauses", F.create_map())).alias("n_clauses"),
+        F.size(F.coalesce("table_pages", F.array())).alias("n_table_pages"),
+        F.length(F.coalesce("extracted_text", F.lit(""))).alias("n_chars"),
+        "error",
+    )
+
+
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return (
@@ -601,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "embedding_near_dup": q_embedding_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
+        "pdf_extract": q_pdf_extract,
         "lang_profile": q_lang_profile,
     }
 
