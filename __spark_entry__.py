@@ -13,6 +13,8 @@ minhash/simhash/winnowing, the glyph-OCR pdf path) are rows-only checks.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,8 +22,36 @@ from pyspark.sql import functions as F
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+# the driver may import this file with any cwd/session; make the package
+# importable on THIS process and on every executor python worker
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship pdf_parser_spark to executors (addPyFile) once per session —
+    without this, mapInPandas closures fail to unpickle on workers when
+    the session wasn't launched from the repo root."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pps_pkg_added", False):
+        return
+    zip_path = os.path.join(_REPO, "dist", "pdf_parser_spark.zip")
+    if not os.path.exists(zip_path):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "pps_package_tool", os.path.join(_REPO, "tools", "package.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        zip_path = mod.build()
+    sc.addPyFile(zip_path)
+    sc._pps_pkg_added = True  # noqa: SLF001
+
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_pkg(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
