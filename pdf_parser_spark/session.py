@@ -68,4 +68,39 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make pdf_parser_spark importable on executor python workers
+    regardless of the launch cwd: zip the package and addPyFile once per
+    session. Workers only inherit the driver's CWD (not its sys.path),
+    so running any entry point from outside the repo root would
+    otherwise fail to unpickle mapInPandas closures."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pps_pkg_added", False):
+        return
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(pkg_root)
+    zip_path = os.path.join(repo, "dist", "pdf_parser_spark.zip")
+    try:
+        if not os.path.exists(zip_path):
+            os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+            with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+                for dirpath, _d, files in os.walk(pkg_root):
+                    if "__pycache__" in dirpath:
+                        continue
+                    for fn in sorted(files):
+                        if fn.endswith(".py"):
+                            full = os.path.join(dirpath, fn)
+                            z.write(full, os.path.relpath(full, repo))
+        sc.addPyFile(zip_path)
+    except Exception:
+        # read-only checkout or non-local deployment: spark-submit
+        # --py-files remains the documented path
+        pass
+    sc._pps_pkg_added = True  # noqa: SLF001
