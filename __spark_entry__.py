@@ -641,6 +641,58 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_parser_spark.functions import bpe_token_stats
+
+    out = bpe_token_stats(_load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_bpe_tokens", "n_ws_tokens", "n_distinct_bpe",
+        F.round("bpe_per_word", 6).alias("bpe_per_word"),
+    )
+
+
+Q_BPE_ORACLE = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+         AS n_bpe_tokens,
+       len(string_split(trim(text), ' ')) AS n_ws_tokens,
+       len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')))
+         AS n_distinct_bpe,
+       round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) * 1.0
+             / greatest(len(string_split(trim(text), ' ')), 1), 6)
+         AS bpe_per_word
+FROM documents
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: selective filter + single agg — the pure
+    pushdown/codegen scan query."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("2024-01-01"))
+        & (F.col("l_shipdate") < F.lit("2025-01-01"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+        ).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2024-01-01'
+  AND l_shipdate < TIMESTAMP '2025-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return (
@@ -682,6 +734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "pdf_extract": q_pdf_extract,
+        "bpe_tokens": q_bpe_tokens,
+        "q6_forecast_revenue": q6_forecast_revenue,
         "lang_profile": q_lang_profile,
     }
 
@@ -700,6 +754,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": Q_ANN_ORACLE,
         "rollup_revenue": Q_ROLLUP_ORACLE,
         "semi_anti_customers": Q_SEMI_ANTI_ORACLE,
+        "bpe_tokens": Q_BPE_ORACLE,
+        "q6_forecast_revenue": Q6_ORACLE,
         "sessionize": Q_SESSIONIZE_ORACLE,
         "lang_profile": Q_LANG_ORACLE,
         # minhash_lsh / simhash64 / winnow_fingerprints: xxhash64-based,

@@ -20,4 +20,9 @@ from .dedup import (  # noqa: F401
     simhash_near_dup,
 )
 from .similarity import brute_force_cosine_topk, lsh_cosine_topk  # noqa: F401
-from .quality import language_id, quality_metrics, winnow_fingerprints  # noqa: F401
+from .quality import (  # noqa: F401
+    bpe_token_stats,
+    language_id,
+    quality_metrics,
+    winnow_fingerprints,
+)

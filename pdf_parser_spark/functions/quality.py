@@ -77,6 +77,34 @@ def language_id(
     )
 
 
+# BPE-style pre-tokenizer pattern: letter runs, digit runs, punctuation
+# runs (no lookaheads — RE2/DuckDB compatibility; the GPT-2 pattern's
+# lookahead variant is Java-only)
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting beyond whitespace: BPE-pre-tokenizer-style regex
+    segmentation (letters / digits / punctuation runs). Gives the token
+    count a tokenizer-budget estimator needs; whitespace count alongside
+    for the ratio."""
+    t = F.col(text_col)
+    toks = F.regexp_extract_all(t, F.lit(BPE_PATTERN), 0)
+    ws = F.split(F.trim(t), " ")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+        (
+            F.size(toks).cast("double")
+            / F.greatest(F.size(ws), F.lit(1))
+        ).alias("bpe_per_word"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 5,

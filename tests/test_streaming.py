@@ -21,7 +21,7 @@ def test_stream_extract_incremental(spark, tmp_path):
     batch1.write.mode("append").parquet(inp)
 
     q = stream_extract(spark, inp, out, ckpt)
-    q.awaitTermination(240)
+    q.awaitTermination(480)
     got1 = spark.read.parquet(out)
     assert got1.count() == 30
 
@@ -30,7 +30,7 @@ def test_stream_extract_incremental(spark, tmp_path):
     batch2.write.mode("append").parquet(inp)
 
     q2 = stream_extract(spark, inp, out, ckpt)
-    q2.awaitTermination(240)
+    q2.awaitTermination(480)
     got2 = spark.read.parquet(out)
     assert got2.count() == 50
     assert got2.select("url").distinct().count() == 50  # exactly-once
@@ -53,7 +53,7 @@ def test_stream_hourly_rollup_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    q.awaitTermination(480)
 
     got = spark.read.parquet(out)
     batch = (
@@ -93,7 +93,7 @@ def test_stream_sessionize_matches_batch_sessions(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    q.awaitTermination(480)
     got = spark.read.parquet(out)
     assert got.count() > 0
 
@@ -143,7 +143,7 @@ def test_stream_dedup_stateful_across_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(200)
+        q.awaitTermination(480)
 
     spark.createDataFrame(
         [("u1", "sha_a"), ("u2", "sha_b"), ("u3", "sha_a")],
