@@ -693,6 +693,79 @@ WHERE l_shipdate >= TIMESTAMP '2024-01-01'
 """
 
 
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the 6-way star join (region-nation-customer-
+    orders-lineitem-supplier) with the local-supplier predicate — every
+    dimension table in the schema participates; small dims broadcast."""
+    r = _load(spark, sf_dir, "region")
+    n = _load(spark, sf_dir, "nation")
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    s = _load(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q5_ORACLE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: lineitem x part join with conditional aggregation
+    (promo share of revenue)."""
+    li = _load(spark, sf_dir, "lineitem")
+    p = _load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)),
+                4,
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q14_ORACLE = """
+SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0 END), 4) AS promo_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return (
@@ -736,6 +809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": q_pdf_extract,
         "bpe_tokens": q_bpe_tokens,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q14_promo_revenue": q14_promo_revenue,
         "lang_profile": q_lang_profile,
     }
 
@@ -756,6 +831,8 @@ def oracle_sql() -> dict[str, str]:
         "semi_anti_customers": Q_SEMI_ANTI_ORACLE,
         "bpe_tokens": Q_BPE_ORACLE,
         "q6_forecast_revenue": Q6_ORACLE,
+        "q5_local_supplier_volume": Q5_ORACLE,
+        "q14_promo_revenue": Q14_ORACLE,
         "sessionize": Q_SESSIONIZE_ORACLE,
         "lang_profile": Q_LANG_ORACLE,
         # minhash_lsh / simhash64 / winnow_fingerprints: xxhash64-based,
