@@ -316,10 +316,11 @@ def embedding_near_dup(
     emb = hashed_bow_embedding(df, dim, text_col, id_col).withColumn(
         "bucket", lsh_bucket(F.col("embedding"), planes)
     )
-    # all-pairs via SHUFFLE self-join on bucket: both sides share an
-    # identical subplan, so AQE reuses one exchange instead of computing
-    # the embedding pipeline twice (a broadcast here would force two
-    # materializations and defeat the reuse)
+    # all-pairs via self-join on bucket. The embedding subplan computes
+    # once per join side; at production scale persist the (tiny:
+    # n_docs x dim floats) embedding to a table first and join that —
+    # measured localCheckpoint here gave only ~15% warm and ambiguous
+    # cold gains on this VM, not worth the executor-loss failure mode.
     a = emb.select(
         F.col("doc_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
     )
