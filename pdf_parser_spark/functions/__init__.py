@@ -19,7 +19,11 @@ from .dedup import (  # noqa: F401
     simhash64,
     simhash_near_dup,
 )
-from .similarity import brute_force_cosine_topk, lsh_cosine_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    brute_force_cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 from .quality import (  # noqa: F401
     bpe_token_stats,
     language_id,

@@ -102,6 +102,86 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def ivf_cosine_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-style approximate top-k: a seeded KMeans coarse quantizer
+    partitions the corpus into ``nlist`` inverted lists; each query
+    probes its ``nprobe`` nearest centroids and reranks exactly within
+    those lists.
+
+    Scale: the corpus is scanned once to assign lists (a narrow pass);
+    the candidate join is an equi-join on list id touching ~nprobe/nlist
+    of the corpus per query. Centroids are driver-side literals —
+    nlist*dim floats — broadcast implicitly in the plan. The KMeans fit
+    is MLlib (seeded, deterministic given the corpus)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    train = corpus.select(
+        array_to_vector(F.col("cvec").cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=nlist, seed=seed, maxIter=10).fit(train)
+    centroids = [list(map(float, c)) for c in km.clusterCenters()]
+
+    def nearest_lists(vec, n):
+        """Ranked list ids by squared L2 distance to each centroid —
+        expression-only (no model UDF in the hot path)."""
+        dists = []
+        for li, c in enumerate(centroids):
+            arr = F.array(*[F.lit(x) for x in c])
+            d2 = _dot(vec, vec, dim) - 2 * _dot(vec, arr, dim) + sum(
+                x * x for x in c
+            )
+            dists.append(F.struct(d2.alias("d2"), F.lit(li).alias("list_id")))
+        ranked = F.array_sort(F.array(*dists))
+        return F.slice(ranked, 1, n)
+
+    assigned = corpus.withColumn(
+        "list_id", nearest_lists(F.col("cvec"), 1)[0]["list_id"]
+    )
+    q = query_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn(
+        "probe", F.explode(F.transform(
+            nearest_lists(F.col("qvec"), nprobe), lambda s: s["list_id"]
+        ))
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(q), assigned.list_id == q.probe
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qvec"), F.col("cvec"), dim)
+                / (_norm(F.col("qvec"), dim) * _norm(F.col("cvec"), dim))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_cosine_topk(
     df: DataFrame,
     query_df: DataFrame,

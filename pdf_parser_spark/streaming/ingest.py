@@ -99,13 +99,18 @@ def stream_dedup(docs: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (sha,) = key
         seen = state.get[0] if state.exists else 0
-        out = []
+        # row order within a micro-batch group is NOT deterministic
+        # (depends on scan partition order); pick the MIN url so the
+        # surviving representative is stable across reruns
+        urls: list[str] = []
         for pdf in pdfs:
-            for url in pdf["url"]:
-                if seen == 0:
-                    out.append({"doc_sha": sha, "url": url, "dup_index": 0})
-                seen += 1
-        state.update((seen,))
+            urls.extend(pdf["url"])
+        out = []
+        if seen == 0 and urls:
+            out.append(
+                {"doc_sha": sha, "url": min(urls), "dup_index": 0}
+            )
+        state.update((seen + len(urls),))
         yield pd.DataFrame(
             out, columns=["doc_sha", "url", "dup_index"]
         )

@@ -199,3 +199,39 @@ def test_simhash_near_dup(spark):
     assert (0, 2) in pairs and 0 <= pairs[(0, 2)] <= 10  # near dup
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)  # unrelated doc excluded
+
+
+def test_ivf_cosine_topk_recall(spark):
+    import numpy as np
+
+    from pdf_parser_spark.functions import (
+        brute_force_cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    # 4 well-separated clusters of 10 vectors each
+    rng = np.random.Generator(np.random.PCG64(11))
+    centers = rng.standard_normal((4, 16)) * 10
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(10):
+            rows.append((vid, [float(x) for x in c + rng.standard_normal(16)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter("vec_id IN (0, 10, 20, 30)")
+
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_cosine_topk(emb, q, k=3, dim=16).collect()
+    }
+    approx = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_cosine_topk(
+            emb, q, k=3, nlist=4, nprobe=2, dim=16
+        ).collect()
+    }
+    # well-separated clusters: IVF with nprobe=2 must recover the exact
+    # top-3 for every query
+    hits = sum(1 for key, nid in exact.items() if approx.get(key) == nid)
+    assert hits >= 10, (hits, exact, approx)
