@@ -37,7 +37,9 @@ def _ensure_pkg(spark: SparkSession) -> None:
     if getattr(sc, "_pps_pkg_added", False):
         return
     zip_path = os.path.join(_REPO, "dist", "pdf_parser_spark.zip")
-    if not os.path.exists(zip_path):
+    from pdf_parser_spark.session import package_zip_stale
+
+    if package_zip_stale(zip_path):
         import importlib.util
 
         spec = importlib.util.spec_from_file_location(
@@ -140,12 +142,18 @@ def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FLAGSHIP_ORACLE = """
+# DuckDB's integer sum() surfaces as DECIMAL128/HUGEINT through Arrow
+# while Spark's is BIGINT — the driver's value hash distinguishes them,
+# so integer sums are CAST to BIGINT on the oracle side.
+FLAGSHIP_ORACLE = r"""
 SELECT lang,
        count(*) AS n_docs,
-       sum(length(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS total_chars,
-       min(length(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS min_chars,
-       max(length(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS max_chars
+       CAST(sum(length(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS BIGINT)
+         AS total_chars,
+       CAST(min(length(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS BIGINT)
+         AS min_chars,
+       CAST(max(length(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS BIGINT)
+         AS max_chars
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -651,7 +659,7 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_BPE_ORACLE = """
+Q_BPE_ORACLE = r"""
 SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
          AS n_bpe_tokens,
@@ -780,7 +788,8 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_LANG_ORACLE = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        round(avg(n_chars), 6) AS avg_chars
 FROM documents GROUP BY lang ORDER BY lang
 """

@@ -73,6 +73,26 @@ def get_spark(
     return spark
 
 
+def package_zip_stale(zip_path: str, pkg_root: str | None = None) -> bool:
+    """True when the deploy zip is missing or any package .py is newer
+    than it — a stale committed zip silently ships old code to executors
+    (and to spark-submit --py-files users)."""
+    if pkg_root is None:
+        pkg_root = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.exists(zip_path):
+        return True
+    zmt = os.path.getmtime(zip_path)
+    for dirpath, _d, files in os.walk(pkg_root):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in files:
+            if fn.endswith(".py") and os.path.getmtime(
+                os.path.join(dirpath, fn)
+            ) > zmt:
+                return True
+    return False
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Make pdf_parser_spark importable on executor python workers
     regardless of the launch cwd: zip the package and addPyFile once per
@@ -88,7 +108,7 @@ def _ship_package(spark: SparkSession) -> None:
     repo = os.path.dirname(pkg_root)
     zip_path = os.path.join(repo, "dist", "pdf_parser_spark.zip")
     try:
-        if not os.path.exists(zip_path):
+        if package_zip_stale(zip_path, pkg_root):
             os.makedirs(os.path.dirname(zip_path), exist_ok=True)
             with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
                 for dirpath, _d, files in os.walk(pkg_root):

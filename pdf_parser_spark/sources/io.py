@@ -64,15 +64,20 @@ class TableIO:
         self, df: DataFrame, name: str, partition_col: str
     ) -> None:
         """Replace exactly the partitions present in ``df`` — Iceberg's
-        dynamic overwrite, or parquet dynamic partitionOverwriteMode
-        (set in session.py). This is what makes resume idempotent: a
-        half-written partition from a killed run is fully replaced on
-        re-run, never duplicated."""
+        dynamic overwrite, or parquet dynamic partitionOverwriteMode.
+        This is what makes resume idempotent: a half-written partition
+        from a killed run is fully replaced on re-run, never duplicated.
+
+        The overwrite mode is set PER WRITE (not relied on from session
+        config): with an externally created SparkSession the session
+        default is ``static``, under which this write would delete every
+        already-committed partition — silent data loss on resume."""
         if self.iceberg:
             df.writeTo(self._path(name)).overwritePartitions()
         else:
             (
                 df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(partition_col)
                 .parquet(self._path(name))
             )

@@ -1,9 +1,6 @@
 """Streaming ingest: exactly-once incremental extraction + watermarked
 windowed rollup (pdf_parser_spark/streaming)."""
 
-import os
-
-import pytest
 from pyspark.sql import functions as F
 
 from pdf_parser_spark import schemas
@@ -11,8 +8,10 @@ from pdf_parser_spark.streaming import stream_extract, stream_hourly_rollup
 from pdf_parser_spark.synth import gen_rows
 
 
-@pytest.mark.timeout(300)
 def test_stream_extract_incremental(spark, tmp_path):
+    # hang guard: every awaitTermination below carries an explicit
+    # deadline and asserts termination (pytest-timeout is not installed,
+    # so a @timeout mark would be a silent no-op)
     inp = str(tmp_path / "feed")
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
@@ -21,7 +20,7 @@ def test_stream_extract_incremental(spark, tmp_path):
     batch1.write.mode("append").parquet(inp)
 
     q = stream_extract(spark, inp, out, ckpt)
-    q.awaitTermination(480)
+    assert q.awaitTermination(480), "stream_extract did not finish in 480s"
     got1 = spark.read.parquet(out)
     assert got1.count() == 30
 
@@ -30,7 +29,7 @@ def test_stream_extract_incremental(spark, tmp_path):
     batch2.write.mode("append").parquet(inp)
 
     q2 = stream_extract(spark, inp, out, ckpt)
-    q2.awaitTermination(480)
+    assert q2.awaitTermination(480), "resumed stream did not finish in 480s"
     got2 = spark.read.parquet(out)
     assert got2.count() == 50
     assert got2.select("url").distinct().count() == 50  # exactly-once
@@ -53,7 +52,7 @@ def test_stream_hourly_rollup_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(480)
+    assert q.awaitTermination(480), "rollup stream did not finish in 480s"
 
     got = spark.read.parquet(out)
     batch = (
@@ -93,7 +92,7 @@ def test_stream_sessionize_matches_batch_sessions(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(480)
+    assert q.awaitTermination(480), "sessionize stream did not finish in 480s"
     got = spark.read.parquet(out)
     assert got.count() > 0
 
@@ -143,7 +142,7 @@ def test_stream_dedup_stateful_across_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(480)
+        assert q.awaitTermination(480), "dedup stream did not finish in 480s"
 
     spark.createDataFrame(
         [("u1", "sha_a"), ("u2", "sha_b"), ("u3", "sha_a")],

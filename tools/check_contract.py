@@ -14,13 +14,21 @@ sys.path.insert(0, ".")
 
 
 def canon(v):
+    """Full-precision, TYPE-AWARE canonical form. The driver compares
+    Arrow-level values, where DuckDB's integer sum() surfaces as
+    decimal128/hugeint while Spark's is int64 — `str()` at 9 sig figs
+    masked exactly that class of mismatch in round 1 (flagship/
+    lang_profile), so floats use repr() and non-str types carry their
+    type name."""
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
+            return "float:nan"
+        return f"float:{v!r}"
     if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
+        return f"bytes:{v.hex()}"
+    if isinstance(v, str):
+        return v
+    return f"{type(v).__name__}:{v}"
 
 
 def rowset(cols, rows):
@@ -59,9 +67,14 @@ def main() -> int:
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(srows)} rows  OK(weak)")
             continue
-        orel = con.execute(oracles[name])
-        ocols = [d[0] for d in orel.description]
-        orows = orel.fetchall()
+        # fetch through Arrow — the driver does — so DuckDB HUGEINT/
+        # DECIMAL results surface as Decimal and fail canon() against a
+        # Spark int, exactly as they fail the driver's value hash
+        otab = con.execute(oracles[name]).fetch_arrow_table()
+        ocols = otab.column_names
+        orows = [
+            tuple(d[c] for c in ocols) for d in otab.to_pylist()
+        ]
         ok_count = len(srows) == len(orows)
         ok_schema = sorted(scols) == sorted(ocols)
         ok_vals = ok_count and ok_schema and (
