@@ -426,28 +426,179 @@ SELECT query_id, neighbor_id, rank FROM (
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (xxhash64-based — rows-only check,
-    validated against exact Jaccard in tests/test_textops.py)."""
+    """MinHash+LSH near-dup candidates. The contract variant hashes with
+    md5 (hash_fn="md5") so DuckDB reproduces signatures, band buckets and
+    the verified Jaccard exactly; production default stays xxhash64."""
     from pdf_parser_spark.functions import minhash_lsh_candidates
 
     out = minhash_lsh_candidates(
-        _load(spark, sf_dir, "documents"), num_perm=16, bands=4, threshold=0.2
+        _load(spark, sf_dir, "documents"),
+        num_perm=16,
+        bands=4,
+        threshold=0.2,
+        hash_fn="md5",
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash64 per doc (xxhash64-based — rows-only check)."""
+    """SimHash per doc (md5 contract variant — DuckDB-reproducible)."""
     from pdf_parser_spark.functions import simhash64
 
-    return simhash64(_load(spark, sf_dir, "documents"))
+    return simhash64(_load(spark, sf_dir, "documents"), hash_fn="md5")
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (rows-only check; invariants in pytest)."""
+    """Winnowing fingerprints (md5 contract variant)."""
     from pdf_parser_spark.functions import winnow_fingerprints
 
-    return winnow_fingerprints(_load(spark, sf_dir, "documents"))
+    return winnow_fingerprints(
+        _load(spark, sf_dir, "documents"), hash_fn="md5"
+    )
+
+
+def _duck_h64(expr: str) -> str:
+    """DuckDB twin of pdf_parser_spark hash64(col, fn='md5'): top 60
+    bits of md5 — verified bit-identical to Spark's
+    conv(substring(md5(x),1,15),16,10) for ascii/utf-8/empty inputs."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _mk_minhash_oracle(num_perm=16, bands=4, n=3, threshold=0.2) -> str:
+    """DuckDB replica of minhash_lsh_candidates(hash_fn='md5'):
+    identical shingles, signatures, band hashes, candidate buckets and
+    exact-Jaccard verify (functions/dedup.py:minhash_lsh_candidates)."""
+    rpb = num_perm // bands
+    mins = ",\n         ".join(
+        "min({h}) AS mh_{i}".format(
+            h=_duck_h64("'p{}:' || shingle".format(i)), i=i
+        )
+        for i in range(num_perm)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, {h} AS band_hash FROM sig".format(
+            b=b,
+            h=_duck_h64(
+                "concat_ws(':', "
+                + ", ".join(f"mh_{b * rpb + r}" for r in range(rpb))
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+{n - 1}], ' ') AS shingle
+  FROM toks, unnest(range(1, len(ws) - {n - 2})) AS u(i)
+  WHERE length(array_to_string(ws[i:i+{n - 1}], ' ')) > 0
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bandsv AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandsv a JOIN bandsv b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       round(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = id_a
+JOIN sizes zb ON zb.doc_id = id_b
+WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= {threshold}
+"""
+
+
+def _mk_simhash_cte() -> str:
+    """Shared CTE body computing (doc_id, simhash) the way
+    functions/dedup.py:simhash64(hash_fn='md5') does: per-token 60-bit
+    md5 hash, +/-1 vote per bit, sign word reassembly."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(64)
+    )
+    return f"""tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+    FROM documents
+  ) WHERE length(token) > 0
+),
+hs AS (SELECT doc_id, {_duck_h64('token')} AS h FROM tok),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hs GROUP BY doc_id
+),
+sims AS (SELECT doc_id, {assemble} AS simhash FROM votes)"""
+
+
+Q_MINHASH_ORACLE = _mk_minhash_oracle()
+
+Q_SIMHASH_ORACLE = f"""
+WITH {_mk_simhash_cte()}
+SELECT doc_id, simhash FROM sims
+"""
+
+Q_SIMHASH_NEAR_DUP_ORACLE = f"""
+WITH {_mk_simhash_cte()},
+bandsv AS (
+  SELECT doc_id, simhash, b AS band, (simhash >> (b * 16)) & 65535 AS band_val
+  FROM sims, unnest([0, 1, 2, 3]) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bandsv a JOIN bandsv b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+"""
+
+# winnow k=5, window=4 (functions/quality.py:winnow_fingerprints with
+# hash_fn='md5': kgram hash = md5 of the space-joined 5 words, sliding
+# 4-window min, windows complete only when lead(h,3) exists)
+Q_WINNOW_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+),
+kg AS (
+  SELECT doc_id, i AS pos,
+         {_duck_h64("array_to_string(ws[i:i+4], ' ')")} AS h
+  FROM toks, unnest(range(1, len(ws) - 3)) AS u(i)
+),
+sel AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+           AS fingerprint,
+         lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+           AS full_window
+  FROM kg
+)
+SELECT DISTINCT doc_id, fingerprint FROM sel WHERE full_window
+"""
 
 
 def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,11 +733,12 @@ FROM per_session GROUP BY user_id
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash band-bucket near-dup pairs (rows-only; invariants pinned
-    in tests/test_textops.py)."""
+    """SimHash band-bucket near-dup pairs (md5 contract variant)."""
     from pdf_parser_spark.functions import simhash_near_dup
 
-    return simhash_near_dup(_load(spark, sf_dir, "documents"), max_hamming=6)
+    return simhash_near_dup(
+        _load(spark, sf_dir, "documents"), max_hamming=6, hash_fn="md5"
+    )
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,6 +996,8 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_revenue": Q14_ORACLE,
         "sessionize": Q_SESSIONIZE_ORACLE,
         "lang_profile": Q_LANG_ORACLE,
-        # minhash_lsh / simhash64 / winnow_fingerprints: xxhash64-based,
-        # not expressible in DuckDB -> rows-only checks by design
+        "minhash_lsh": Q_MINHASH_ORACLE,
+        "simhash64": Q_SIMHASH_ORACLE,
+        "simhash_near_dup": Q_SIMHASH_NEAR_DUP_ORACLE,
+        "winnow_fingerprints": Q_WINNOW_ORACLE,
     }

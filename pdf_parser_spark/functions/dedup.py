@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .hashing import hash64, hash64_multi
+
 
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -118,19 +120,22 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """MinHash signatures: num_perm permutations simulated as
-    xxhash64(perm_salt || shingle); signature = per-doc min per
+    hash64(perm_salt || shingle); signature = per-doc min per
     permutation. One explode + one groupBy; all hashing JVM-side.
+    ``hash_fn="md5"`` makes signatures DuckDB-reproducible (contract
+    oracle); "xx" (xxhash64) is the fast default.
 
     Scale: shuffle carries (doc_id, 8*num_perm bytes) — constant per doc
     regardless of document size. num_perm=16 with 4-row bands gives the
     standard S-curve around J~0.5 (b=4, r=4)."""
     sh = shingle(df, n, text_col, id_col)
     aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"p{i}:"), F.col("shingle")))).alias(
-            f"mh_{i}"
-        )
+        F.min(
+            hash64(F.concat(F.lit(f"p{i}:"), F.col("shingle")), hash_fn)
+        ).alias(f"mh_{i}")
         for i in range(num_perm)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -144,6 +149,7 @@ def minhash_lsh_candidates(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup detection: band-bucket join for
     candidates, exact n-gram Jaccard verify.
@@ -152,14 +158,14 @@ def minhash_lsh_candidates(
     quadratic blowup is bounded per bucket, and the verify join touches
     only candidate pairs, never all pairs."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, num_perm, n, text_col, id_col)
+    sig = minhash_signatures(df, num_perm, n, text_col, id_col, hash_fn)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*cols).alias("band_hash"),
+                hash64_multi(cols, hash_fn).alias("band_hash"),
             )
         )
     buckets = sig.select(
@@ -218,6 +224,7 @@ def simhash_near_dup(
     max_hamming: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit simhash, 4x16-bit band buckets for
     candidates (pigeonhole: any pair within hamming distance 3 shares at
@@ -226,7 +233,7 @@ def simhash_near_dup(
 
     Scale: same bucket-join shape as MinHash-LSH — quadratic work is
     bounded per 16-bit-band bucket."""
-    sig = simhash64(df, text_col, id_col)
+    sig = simhash64(df, text_col, id_col, hash_fn)
     bands = []
     for b in range(4):
         bands.append(
@@ -340,11 +347,16 @@ def embedding_near_dup(
 
 
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """64-bit SimHash per document: token hash bit-vote. Explode tokens,
-    xxhash64 each, sum a +/-1 vote per bit position, reassemble the sign
-    word. 64 aggregate expressions, all codegen.
+    hash each, sum a +/-1 vote per bit position, reassemble the sign
+    word. 64 aggregate expressions, all codegen. With ``hash_fn="md5"``
+    the token hash is 60-bit, so bits 60-63 vote uniformly -1 and land 0
+    — consistent on both engines, slightly shorter effective signature.
 
     Scale: same shape as minhash — one explode + one groupBy with
     fixed-width state."""
@@ -352,7 +364,7 @@ def simhash64(
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(words).alias("token")
     ).filter(F.length("token") > 0)
-    h = F.xxhash64("token")
+    h = hash64(F.col("token"), hash_fn)
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

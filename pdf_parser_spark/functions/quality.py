@@ -111,6 +111,7 @@ def winnow_fingerprints(
     window: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al.): rolling hash
     of k-grams of words, per-window minimum selection. Expressed with
@@ -134,10 +135,14 @@ def winnow_fingerprints(
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("word", j).over(w) for j in range(1, k)]
+    from .hashing import hash64_multi
+
     kgrams = tok.select(
         "doc_id",
         "pos",
-        F.xxhash64("word", *leads).alias("h"),
+        # md5 variant joins the k words with ' ' (DuckDB twin:
+        # md5(array_to_string(ws[i:i+k-1], ' ')))
+        hash64_multi([F.col("word"), *leads], hash_fn, sep=" ").alias("h"),
         leads[-1].isNotNull().alias("full_kgram") if k > 1 else F.lit(True).alias("full_kgram"),
     ).filter("full_kgram")
     w2 = Window.partitionBy("doc_id").orderBy("pos")
