@@ -28,6 +28,8 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+import oracle_values as _VALUES  # generated: tools/gen_values_oracles.py
+
 
 def _ensure_pkg(spark: SparkSession) -> None:
     """Ship pdf_parser_spark to executors (addPyFile) once per session —
@@ -743,11 +745,15 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over documents text (hashed-BoW embed +
-    SRP-LSH candidates + exact verify; xxhash64-based -> rows-only)."""
+    SRP-LSH candidates with multi-probe + exact verify). md5 contract
+    variant; the oracle is a VALUES literal computed at authoring time
+    by an independent pure-Python replica (tools/gen_values_oracles.py)
+    over the same sf0.01 parquet — fully deterministic: integer counts,
+    fixed-order double folds, seeded planes."""
     from pdf_parser_spark.functions import embedding_near_dup
 
     return embedding_near_dup(
-        _load(spark, sf_dir, "documents"), threshold=0.95
+        _load(spark, sf_dir, "documents"), threshold=0.95, hash_fn="md5"
     )
 
 
@@ -757,13 +763,20 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by documents.doc_id, extracted distributed, summarized per doc.
     Rows-only for the driver (glyph OCR is not SQL-expressible);
     byte-identity vs the single-process oracle is asserted in
-    tests/test_spark_equivalence.py."""
+    tests/test_spark_equivalence.py. The driver oracle is a VALUES
+    literal precomputed by running the single-process oracle over the
+    same 48 deterministic synth docs (tools/gen_values_oracles.py);
+    doc_id < 48 (not LIMIT) keeps the selected set scan-order-free."""
     import pandas as pd
 
     from pdf_parser_spark import schemas
     from pdf_parser_spark.operators import extract_stage
 
-    docs = _load(spark, sf_dir, "documents").select("doc_id").limit(48)
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 48)
+    )
 
     def synth(batches):
         from datetime import datetime, timedelta, timezone
@@ -1000,4 +1013,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash64": Q_SIMHASH_ORACLE,
         "simhash_near_dup": Q_SIMHASH_NEAR_DUP_ORACLE,
         "winnow_fingerprints": Q_WINNOW_ORACLE,
+        # VALUES-literal oracles computed by independent pure-Python
+        # replicas at authoring time (tools/gen_values_oracles.py)
+        "pdf_extract": _VALUES.PDF_EXTRACT_ORACLE,
+        "embedding_near_dup": _VALUES.EMBEDDING_NEAR_DUP_ORACLE,
     }

@@ -271,28 +271,47 @@ def simhash_near_dup(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def _hashed_bow_counts(
+    df: DataFrame,
+    dim: int,
+    text_col: str,
+    id_col: str,
+    hash_fn: str,
+) -> DataFrame:
+    """Per-doc hashed-BoW bucket counts as ``dim`` int columns b0..b{dim-1}
+    (one explode + one groupBy with map-side partial agg)."""
+    words = F.split(F.trim(F.col(text_col)), " ")
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words).alias("token")
+    ).filter(F.length("token") > 0)
+    # materialize the bucket in its own projection: inlining the hash
+    # tree into all ``dim`` aggregate conditions duplicates it dim times
+    # in the generated update method (med5's conv/substring tree blows
+    # Janino's 64KB method limit into interpreted fallback)
+    tok = tok.select(
+        "doc_id", F.pmod(hash64(F.col("token"), hash_fn), F.lit(dim)).alias("bkt")
+    )
+    return tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("bkt") == i, 1).otherwise(0)).alias(f"b{i}")
+            for i in range(dim)
+        ]
+    )
+
+
 def hashed_bow_embedding(
     df: DataFrame,
     dim: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Cheap text embedding: hashed bag-of-words — tokens bucketed by
-    xxhash64 mod dim, L2-normalized counts. One explode + one groupBy
+    hash64 mod dim, L2-normalized counts. One explode + one groupBy
     with ``dim`` codegen aggregates; the embedding column then feeds the
     similarity operators unchanged (a real model swaps in via the same
     (id, array<float>) contract)."""
-    words = F.split(F.trim(F.col(text_col)), " ")
-    tok = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(words).alias("token")
-    ).filter(F.length("token") > 0)
-    bucket = F.pmod(F.xxhash64("token"), F.lit(dim))
-    counts = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(bucket == i, 1).otherwise(0)).alias(f"b{i}")
-            for i in range(dim)
-        ]
-    )
+    counts = _hashed_bow_counts(df, dim, text_col, id_col, hash_fn)
     vec = F.array(*[F.col(f"b{i}").cast("double") for i in range(dim)])
     norm = F.sqrt(
         F.aggregate(
@@ -313,30 +332,210 @@ def embedding_near_dup(
     dim: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xx",
+    n_planes: int = 16,
+    multiprobe: bool = True,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: hashed-BoW embed, SRP-LSH bucket
     for candidates, exact cosine verify >= threshold. The scale path for
-    semantic dedup: candidate volume ~ corpus / 2^n_planes per bucket."""
-    from .similarity import _dot, _norm, lsh_bucket, random_hyperplanes
+    semantic dedup: candidate volume ~ corpus / 2^n_planes per bucket.
 
-    planes = random_hyperplanes(dim, 8)
-    emb = hashed_bow_embedding(df, dim, text_col, id_col).withColumn(
-        "bucket", lsh_bucket(F.col("embedding"), planes)
+    The (doc_id, embedding, bucket) relation — n_docs x (dim floats +
+    one long), tiny next to the corpus — is MATERIALIZED to parquet
+    before the self-join, so the 64-aggregate embedding subplan runs
+    once instead of once per join side (the round-1 plan computed it
+    twice and was the #1 bench cost). 16 planes shrink buckets 256x
+    vs 8 planes (defusing the per-bucket quadratic blowup at corpus
+    scale); recall is held by multi-probe — the left side also probes
+    every bucket at Hamming distance 1, so any pair whose sign vectors
+    differ in at most one plane is still a candidate."""
+    import tempfile
+
+    from .similarity import random_hyperplanes
+
+    def fold(terms):
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    # --- stage 1+2: materialize the per-doc "sided" table
+    # (doc_id, e_0..e_{dim-1}, nrm, bit_0..bit_{n_planes-1}) — FLAT
+    # columns, n_docs rows, tiny next to the corpus. Built by ONE
+    # Arrow-batched numpy kernel per md5 contract variant (tokenize ->
+    # bucket counts -> float32 normalize -> plane sign bits): no
+    # shuffle at all (same shape as the extraction stage), and none of
+    # the megabyte expression plans whose Janino compilation dominated
+    # the relational formulation (64-agg + 16 dim-term trees measured
+    # seconds of compile and fell past the 64KB method limit into
+    # interpreted fallback). Exact parity with the unrolled expressions
+    # and the pure-Python VALUES oracle: np.add.accumulate is the same
+    # sequential left-fold, counts are exact integers, same float32
+    # cast, same md5-60bit bucket. The xxhash64 default keeps the
+    # relational path (xxhash64 exists only JVM-side).
+    planes = random_hyperplanes(dim, n_planes)
+    spark = df.sparkSession
+    out_dir = scratch_dir or tempfile.mkdtemp(prefix="pps_embnd_")
+    sided_schema = ", ".join(
+        ["doc_id long"]
+        + [f"e_{i} float" for i in range(dim)]
+        + ["nrm double"]
+        + [f"bit_{i} int" for i in range(n_planes)]
     )
-    # all-pairs via self-join on bucket. The embedding subplan computes
-    # once per join side; at production scale persist the (tiny:
-    # n_docs x dim floats) embedding to a table first and join that —
-    # measured localCheckpoint here gave only ~15% warm and ambiguous
-    # cold gains on this VM, not worth the executor-loss failure mode.
-    a = emb.select(
-        F.col("doc_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+
+    if hash_fn == "md5":
+
+        def build_sided(batches):
+            import hashlib
+
+            import numpy as np
+            import pandas as pd
+
+            P = np.array(planes, dtype=np.float64)
+            cols = (
+                ["doc_id"]
+                + [f"e_{i}" for i in range(dim)]
+                + ["nrm"]
+                + [f"bit_{i}" for i in range(n_planes)]
+            )
+            bucket_of: dict[str, int] = {}
+            for pdf in batches:
+                ids, rows = [], []
+                for did, text in zip(pdf[id_col], pdf[text_col]):
+                    toks = str(text).strip(" ").split(" ")
+                    counts = np.zeros(dim, dtype=np.float64)
+                    seen = False
+                    for w in toks:
+                        if not w:
+                            continue
+                        seen = True
+                        b = bucket_of.get(w)
+                        if b is None:
+                            b = (
+                                int(
+                                    hashlib.md5(w.encode()).hexdigest()[:15],
+                                    16,
+                                )
+                                % dim
+                            )
+                            bucket_of[w] = b
+                        counts[b] += 1
+                    if not seen:
+                        continue  # no tokens -> no embedding row
+                    ids.append(int(did))
+                    rows.append(counts)
+                if not ids:
+                    yield pd.DataFrame({c: [] for c in cols})
+                    continue
+                C = np.vstack(rows)
+                norm = np.sqrt(np.add.accumulate(C * C, axis=1)[:, -1])
+                E32 = (C / np.maximum(norm, 1e-12)[:, None]).astype(
+                    np.float32
+                )
+                Ed = E32.astype(np.float64)
+                acc = np.add.accumulate(
+                    Ed[:, None, :] * P[None, :, :], axis=2
+                )[:, :, -1]
+                bits = (acc > 0).astype(np.int32)
+                nrm = np.sqrt(np.add.accumulate(Ed * Ed, axis=1)[:, -1])
+                out = pd.DataFrame({"doc_id": ids})
+                for i in range(dim):
+                    out[f"e_{i}"] = E32[:, i]
+                out["nrm"] = nrm
+                for i in range(n_planes):
+                    out[f"bit_{i}"] = bits[:, i]
+                yield out
+
+        # fat-binary sessions cap Arrow batches at 8 rows; doc text rows
+        # are slim, so raise the batch size for this eager write. The
+        # single parquet file of documents would give one input split —
+        # repartition so every core gets a slice.
+        batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old_batch = spark.conf.get(batch_key, None)
+        spark.conf.set(batch_key, "4096")
+        try:
+            (
+                df.select(F.col(id_col), F.col(text_col))
+                .repartition(spark.sparkContext.defaultParallelism)
+                .mapInPandas(build_sided, schema=sided_schema)
+                .write.mode("overwrite")
+                .parquet(out_dir)
+            )
+        finally:
+            if old_batch is not None:
+                spark.conf.set(batch_key, old_batch)
+    else:
+        counts = _hashed_bow_counts(df, dim, text_col, id_col, hash_fn)
+        cnt = [F.col(f"b{i}").cast("double") for i in range(dim)]
+        denom = F.greatest(
+            F.sqrt(fold([c * c for c in cnt])), F.lit(1e-12)
+        )
+        flat = counts.select(
+            "doc_id",
+            *[
+                (c / denom).cast("float").alias(f"e_{i}")
+                for i, c in enumerate(cnt)
+            ],
+        )
+        flat.write.mode("overwrite").parquet(out_dir + "_e")
+        emb = spark.read.parquet(out_dir + "_e")
+
+        def add_bits(batches):
+            import numpy as np
+            P = np.array(planes, dtype=np.float64)
+            for pdf in batches:
+                e = pdf[[f"e_{i}" for i in range(dim)]].to_numpy(np.float64)
+                acc = np.add.accumulate(
+                    e[:, None, :] * P[None, :, :], axis=2
+                )[:, :, -1]
+                bits = (acc > 0).astype(np.int32)
+                nrm = np.sqrt(np.add.accumulate(e * e, axis=1)[:, -1])
+                out = pdf.copy()
+                out["nrm"] = nrm
+                for i in range(n_planes):
+                    out[f"bit_{i}"] = bits[:, i]
+                yield out
+
+        emb.mapInPandas(add_bits, schema=sided_schema).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+    sided = spark.read.parquet(out_dir)
+
+    # --- stage 3: single-column bucket join (multi-probe Hamming<=1)
+    # + exact cosine verify; every expression here is tiny except the
+    # one dim-term dot per candidate pair.
+    bucket = fold(
+        [
+            F.shiftleft(F.col(f"bit_{i}").cast("long"), i)
+            for i in range(n_planes)
+        ]
     )
-    b = emb.select(
-        F.col("doc_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+    probe_cols = [bucket]
+    if multiprobe:
+        probe_cols += [
+            bucket.bitwiseXOR(F.lit(1 << j).cast("long"))
+            for j in range(n_planes)
+        ]
+    a = sided.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"e_{i}").alias(f"a_{i}") for i in range(dim)],
+        F.col("nrm").alias("na"),
+        F.explode(F.array(*probe_cols)).alias("bucket"),
     )
-    cos = _dot(F.col("va"), F.col("vb"), dim) / (
-        _norm(F.col("va"), dim) * _norm(F.col("vb"), dim)
+    b = sided.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"e_{i}").alias(f"b_{i}") for i in range(dim)],
+        F.col("nrm").alias("nb"),
+        bucket.alias("bucket"),
     )
+    dot = fold(
+        [
+            F.col(f"a_{i}").cast("double") * F.col(f"b_{i}").cast("double")
+            for i in range(dim)
+        ]
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
     return (
         a.join(b.hint("shuffle_hash"), "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
