@@ -939,6 +939,107 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based language id (functions/quality.py): CJK -> zh, else
+    argmax of per-language stopword-type hits, ties to the greatest
+    language code (the struct-max tie-break)."""
+    from pdf_parser_spark.functions import language_id
+
+    return language_id(_load(spark, sf_dir, "documents"))
+
+
+def _mk_language_id_oracle() -> str:
+    from pdf_parser_spark.functions.quality import STOPWORDS
+
+    def lst(lang):
+        return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+    hits = ",\n         ".join(
+        f"len(list_intersect(words, {lst(lang)})) AS h_{lang}"
+        for lang in sorted(STOPWORDS)
+    )
+    # ties go to the lexicographically greatest language code — the
+    # Spark side's array_max over (hits, lang) structs
+    return f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_distinct(string_split(lower(trim(text)), ' ')) AS words
+  FROM documents
+),
+h AS (
+  SELECT doc_id, text,
+         {hits}
+  FROM w
+)
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+            WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_fr >= h_en AND h_fr >= h_es AND h_fr >= h_de THEN 'fr'
+            WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+            WHEN h_en >= h_de THEN 'en'
+            ELSE 'de' END AS lang_pred
+FROM h
+"""
+
+
+Q_LANGUAGE_ID_ORACLE = _mk_language_id_oracle()
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: n-gram Jaccard pairs (>=0.2) ->
+    connected components -> (doc_id, cluster_id=min reachable id)."""
+    from pdf_parser_spark.functions import dedup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    return dedup_clusters(pairs)
+
+
+# transitive closure of the (verified green) ngram pair oracle; min
+# reachable node per component = Spark's min-label propagation fixpoint
+Q_DEDUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, len(string_split(trim(text), ' ')) - 3 + 2),
+             i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' ')
+           )) AS shingle
+    FROM documents
+  ) WHERE length(shingle) > 0
+),
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100
+),
+shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+),
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT und.src, reach.lab FROM und JOIN reach ON und.dst = reach.node
+)
+SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return (
@@ -986,6 +1087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q14_promo_revenue": q14_promo_revenue,
         "lang_profile": q_lang_profile,
+        "language_id": q_language_id,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1017,4 +1120,6 @@ def oracle_sql() -> dict[str, str]:
         # replicas at authoring time (tools/gen_values_oracles.py)
         "pdf_extract": _VALUES.PDF_EXTRACT_ORACLE,
         "embedding_near_dup": _VALUES.EMBEDDING_NEAR_DUP_ORACLE,
+        "language_id": Q_LANGUAGE_ID_ORACLE,
+        "dedup_clusters": Q_DEDUP_CLUSTERS_ORACLE,
     }

@@ -3,12 +3,15 @@ deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
 search (brute-force + LSH-bucketed cosine top-k), and text analysis
 (token stats, quality scoring, language id, fingerprinting).
 
-Everything here is built from JVM-side pyspark.sql.functions expressions —
-no Python UDFs anywhere — so the plans stay inside whole-stage codegen
-and scale with the cluster.
+Everything here is built from JVM-side pyspark.sql.functions expressions
+(plus Arrow-batched numpy kernels where megabyte expression plans would
+choke codegen — see embedding_near_dup) — no per-row Python UDFs
+anywhere — so the plans stay inside whole-stage codegen and scale with
+the cluster.
 """
 
 from .dedup import (  # noqa: F401
+    dedup_clusters,
     embedding_near_dup,
     exact_dedup,
     hashed_bow_embedding,

@@ -545,6 +545,61 @@ def embedding_near_dup(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-dup cluster resolution: connected components over a pair
+    list (the step a real dedup pipeline runs after LSH — pairs alone
+    over-delete when A~B and B~C but A!~C). Iterative min-label
+    propagation in pure DataFrame ops: each round every node takes the
+    min label among itself and its neighbors; converges in O(component
+    diameter) rounds (checked per round, bounded by ``max_iter``).
+
+    Returns (doc_id, cluster_id) for every node that appears in a pair;
+    cluster_id is the minimum doc_id reachable — the canonical keeper,
+    matching exact_dedup's min-id survivor rule.
+
+    Scale: each round is one equi-join + one groupBy, both keyed on
+    ids — shuffle volume O(edges). Labels are localCheckpoint'ed per
+    round to truncate lineage (on a cluster with a checkpoint dir,
+    swap for ``checkpoint`` to survive executor loss)."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        und.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+    )
+    for _ in range(max_iter):
+        nbr_min = und.join(labels, und.dst == labels.node).select(
+            und.src.alias("node"), "label"
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(nbr_min)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash64(
     df: DataFrame,
     text_col: str = "text",

@@ -235,3 +235,32 @@ def test_ivf_cosine_topk_recall(spark):
     # top-3 for every query
     hits = sum(1 for key, nid in exact.items() if approx.get(key) == nid)
     assert hits >= 10, (hits, exact, approx)
+
+
+def test_dedup_clusters_components(spark):
+    """Connected components: chain + triangle merge into one cluster
+    keyed by the min id; disjoint pair stays its own cluster."""
+    from pdf_parser_spark.functions import dedup_clusters
+
+    # component {1,2,3,4} via chain 1-2, 2-3, 3-4; triangle edge 1-3;
+    # component {10,11}; node 20 appears in no pair -> absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """Label propagation must reach the fixpoint on a path graph whose
+    diameter forces multiple rounds."""
+    from pdf_parser_spark.functions import dedup_clusters
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
