@@ -21,16 +21,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(
+    spark, sf_dir: str, repeats: int = 3, repeat_cap_sec: float = 20.0
+) -> dict[str, float]:
+    """Best-of-``repeats`` wall per query: this VM shows up to 2x
+    run-to-run variance at >=16 advertised cores (CLAUDE.md), so a
+    single sample is noise; the minimum is the stable estimator of the
+    plan's true cost. Queries slower than ``repeat_cap_sec`` are not
+    repeated (their signal already dwarfs the noise)."""
     import __spark_entry__ as entrymod
 
     out: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        out[name] = round(time.time() - t0, 3)
-        _ = n
+        times = []
+        for _ in range(repeats):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            times.append(dt)
+            if dt > repeat_cap_sec:
+                break
+        out[name] = round(min(times), 3)
     return out
 
 
@@ -66,13 +77,16 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    t0 = time.time()
     queries = bench_queries(spark, sf_dir)
     extraction = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SKIP_EXTRACTION") != "1":
         n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000"))
         extraction = bench_extraction(spark, n_docs)
-    total = round(time.time() - t0, 3)
+    # headline = sum of per-query best-of-3 + one extraction pass (NOT
+    # loop wall, which would triple-count the repeats)
+    total = round(
+        sum(queries.values()) + float(extraction.get("wall_sec", 0.0)), 3
+    )
     spark.stop()
 
     print(

@@ -566,10 +566,22 @@ def dedup_clusters(
     ids — shuffle volume O(edges). Labels are localCheckpoint'ed per
     round to truncate lineage (on a cluster with a checkpoint dir,
     swap for ``checkpoint`` to survive executor loss)."""
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # checkpoint the pair list BEFORE mirroring: the union's two
+    # branches (and every round's join + convergence check) would each
+    # re-execute the possibly-expensive upstream pair pipeline otherwise
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # near-dup edge lists are typically a sliver of the corpus; when the
+    # list is small, single-partition rounds dodge the per-iteration
+    # overhead of scheduling a full shuffle's worth of empty tasks (a
+    # genuinely large graph keeps its parallelism)
+    n_parts = 1 if und.count() < 1_000_000 else und.rdd.getNumPartitions()
+    if n_parts == 1:
+        und = und.coalesce(1)
     labels = (
         und.select("src")
         .distinct()
@@ -584,7 +596,10 @@ def dedup_clusters(
             .union(nbr_min)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
+        )
+        if n_parts == 1:
+            new_labels = new_labels.coalesce(1)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

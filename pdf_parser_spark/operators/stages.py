@@ -84,7 +84,10 @@ def extract_stage(df: DataFrame) -> DataFrame:
 
 def decode_pages(df: DataFrame) -> DataFrame:
     """S2/S3/S7 analogue: (url, html) -> one row per page
-    (url, page_no, width, height, pixels). Undecodable docs yield zero
+    (url, page_no, width, height, pixels, images). ``images`` is the
+    page's embedded-image list in index order (S4/O4, reference
+    python/app.py:44-57 — the reference persists page_{n}_img_{i}.png
+    files; here they ride the page row). Undecodable docs yield zero
     pages here; the fused path is authoritative for error rows."""
     from ..kernels import raster
 
@@ -97,6 +100,7 @@ def decode_pages(df: DataFrame) -> DataFrame:
                     continue
                 try:
                     pages = raster.decode(blob)
+                    images = raster.decode_images(blob)
                 except raster.RasterError:
                     continue
                 for i, p in enumerate(pages, start=1):
@@ -108,10 +112,22 @@ def decode_pages(df: DataFrame) -> DataFrame:
                             "width": w,
                             "height": h,
                             "pixels": p.tobytes(),
+                            "images": [
+                                {
+                                    "idx": idx,
+                                    "width": img.shape[1],
+                                    "height": img.shape[0],
+                                    "pixels": img.tobytes(),
+                                }
+                                for idx, img in images.get(i, [])
+                            ],
                         }
                     )
             yield pd.DataFrame(
-                out, columns=["url", "page_no", "width", "height", "pixels"]
+                out,
+                columns=[
+                    "url", "page_no", "width", "height", "pixels", "images",
+                ],
             )
 
     return df.select("url", "html").mapInPandas(run, schema=schemas.PAGE)
@@ -141,7 +157,11 @@ def ocr_pages(pages: DataFrame) -> DataFrame:
             )
 
     schema = "url string, page_no int, page_text string"
-    return pages.mapInPandas(run, schema=schema)
+    # prune to the OCR inputs so the embedded-image column (S4) never
+    # crosses the Arrow boundary here
+    return pages.select("url", "page_no", "width", "height", "pixels").mapInPandas(
+        run, schema=schema
+    )
 
 
 def clause_stage(page_texts: DataFrame) -> DataFrame:
@@ -208,7 +228,9 @@ def table_stage(pages: DataFrame, flagged: DataFrame) -> DataFrame:
 
     from ..kernels.tables import extract_table
 
-    todo = pages.join(flagged, ["url", "page_no"], "left_semi")
+    todo = pages.select(
+        "url", "page_no", "width", "height", "pixels"
+    ).join(flagged, ["url", "page_no"], "left_semi")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

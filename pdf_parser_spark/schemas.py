@@ -67,7 +67,9 @@ LINEAGE = T.StructType(
     ]
 )
 
-# intermediate page rows for the staged (exploded) API
+# intermediate page rows for the staged (exploded) API; ``images``
+# carries the page's embedded images (S4, reference python/app.py:44-57)
+# in extraction index order (O4)
 PAGE = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -75,5 +77,19 @@ PAGE = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("pixels", T.BinaryType(), True),
+        T.StructField(
+            "images",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("idx", T.IntegerType(), True),
+                        T.StructField("width", T.IntegerType(), True),
+                        T.StructField("height", T.IntegerType(), True),
+                        T.StructField("pixels", T.BinaryType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
     ]
 )
