@@ -8,7 +8,7 @@ section excludes session startup (that's a fixed cost a cluster pays
 once, not a scaling property) and measures the extraction stage wall
 clock over a pre-written corpus.
 
-    python BENCH/run_scaling.py [--docs 4000] [--out BENCH/BASELINE.md]
+    python BENCH/run_scaling.py [--docs 4000] [--out BENCH/scaling_latest.md]
 """
 
 from __future__ import annotations
@@ -65,7 +65,10 @@ def run_at(repo: str, corpus: str, cores: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=4000)
-    ap.add_argument("--out", default="BENCH/BASELINE.md")
+    # default is a SIDECAR: BENCH/BASELINE.md is curated by hand (it
+    # carries cross-round history and analysis) — fold new numbers in
+    # manually rather than letting this tool clobber it
+    ap.add_argument("--out", default="BENCH/scaling_latest.md")
     ap.add_argument("--cores", default="8,32")
     args = ap.parse_args()
 

@@ -468,14 +468,13 @@ def _duck_h64(expr: str) -> str:
 
 def _mk_minhash_oracle(num_perm=16, bands=4, n=3, threshold=0.2) -> str:
     """DuckDB replica of minhash_lsh_candidates(hash_fn='md5'):
-    identical shingles, signatures, band hashes, candidate buckets and
-    exact-Jaccard verify (functions/dedup.py:minhash_lsh_candidates)."""
+    identical shingles, Kirsch-Mitzenmacher signatures (one md5 per
+    shingle, perm_i = h1 + i*h2 with 52/40-bit slices), band hashes,
+    candidate buckets and exact-Jaccard verify
+    (functions/dedup.py:minhash_lsh_candidates)."""
     rpb = num_perm // bands
     mins = ",\n         ".join(
-        "min({h}) AS mh_{i}".format(
-            h=_duck_h64("'p{}:' || shingle".format(i)), i=i
-        )
-        for i in range(num_perm)
+        f"min(h1 + {i} * h2) AS mh_{i}" for i in range(num_perm)
     )
     band_selects = "\n  UNION ALL\n  ".join(
         "SELECT doc_id, {b} AS band, {h} AS band_hash FROM sig".format(
@@ -497,10 +496,16 @@ sh AS (
   FROM toks, unnest(range(1, len(ws) - {n - 2})) AS u(i)
   WHERE length(array_to_string(ws[i:i+{n - 1}], ' ')) > 0
 ),
+shh AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 13) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(shingle), 14, 10) AS BIGINT) AS h2
+  FROM sh
+),
 sig AS (
   SELECT doc_id,
          {mins}
-  FROM sh GROUP BY doc_id
+  FROM shh GROUP BY doc_id
 ),
 bandsv AS (
   {band_selects}

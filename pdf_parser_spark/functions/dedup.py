@@ -132,12 +132,39 @@ def minhash_signatures(
     regardless of document size. num_perm=16 with 4-row bands gives the
     standard S-curve around J~0.5 (b=4, r=4)."""
     sh = shingle(df, n, text_col, id_col)
-    aggs = [
-        F.min(
-            hash64(F.concat(F.lit(f"p{i}:"), F.col("shingle")), hash_fn)
-        ).alias(f"mh_{i}")
-        for i in range(num_perm)
-    ]
+    return _signatures_from_shingles(sh, num_perm, hash_fn)
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, num_perm: int, hash_fn: str
+) -> DataFrame:
+    if hash_fn == "md5":
+        # Kirsch-Mitzenmacher two-hash family: ONE md5 per shingle,
+        # perm_i = h1 + i*h2 with h1 52-bit / h2 40-bit slices (sum
+        # stays far below 2^63 — no overflow on either engine; ANSI
+        # Spark and DuckDB both error on bigint overflow). 16 md5
+        # calls per shingle -> 1 measured this as the minhash hot cost.
+        md5 = F.md5(F.col("shingle"))
+        sh = sh.select(
+            "doc_id",
+            F.conv(F.substring(md5, 1, 13), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(md5, 14, 10), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        )
+        aggs = [
+            F.min(F.col("h1") + i * F.col("h2")).alias(f"mh_{i}")
+            for i in range(num_perm)
+        ]
+    else:
+        aggs = [
+            F.min(
+                hash64(F.concat(F.lit(f"p{i}:"), F.col("shingle")), hash_fn)
+            ).alias(f"mh_{i}")
+            for i in range(num_perm)
+        ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -158,7 +185,10 @@ def minhash_lsh_candidates(
     quadratic blowup is bounded per bucket, and the verify join touches
     only candidate pairs, never all pairs."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, num_perm, n, text_col, id_col, hash_fn)
+    # one tokenize+shingle pass, shared by the signature build AND the
+    # exact-verify join below (left lazy, it executes three times)
+    sh = shingle(df, n, text_col, id_col).localCheckpoint(eager=True)
+    sig = _signatures_from_shingles(sh, num_perm, hash_fn)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -181,8 +211,8 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
-    # exact verify on candidates only
-    sh = shingle(df, n, text_col, id_col)
+    # exact verify on candidates only (sh is the checkpointed shingle
+    # relation from above — no recomputation)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.withColumnRenamed("doc_id", "id_a")
