@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched stages.
 
-The container has no media codecs (no PIL/ffmpeg — SURVEY.md §7.0), so the
-DECODE step is stubbed: real containers raise NotImplementedError inside
-the per-row error channel, and the deterministic ``FAKE`` container (used
-by tests and synth) decodes for real. Everything Spark-side — schemas,
+Decode routes by magic: REAL codecs for BMP / WAV / PNG
+(kernels/media_codecs.py — stdlib-only, no PIL/ffmpeg needed), the
+deterministic ``FAKE`` container for synth/test payloads, and
+NotImplementedError into the per-row error channel for formats that do
+need an external codec (JPEG, MP4). Everything Spark-side — schemas,
 partition strategy, UDF signatures, Arrow batch shape, error rows — is
-real and tested; swapping in a real codec changes one function.
+the same for all containers.
 
 FAKE container layout (little-endian):
     b'FAKE' | kind u8 (0=image 1=audio 2=video) | meta...
@@ -44,16 +45,29 @@ FEATURE_SCHEMA = (
 _KINDS = {0: "image", 1: "audio", 2: "video"}
 
 
+def decode_media(blob: bytes) -> dict:
+    """Decode any supported container: FAKE (synth), or real BMP / WAV /
+    PNG via the stdlib codecs. Unsupported real formats raise
+    NotImplementedError — callers map that to an error row, keeping the
+    job alive (same error-channel contract as the document pipeline)."""
+    if blob[:4] == b"FAKE":
+        return decode_fake(blob)
+    from ..kernels.media_codecs import decode_any
+
+    d = decode_any(blob)
+    if d["kind"] == "audio":
+        return {
+            "kind": "audio",
+            "sample_rate": d["sample_rate"],
+            "samples": d["samples"],
+        }
+    return d
+
+
 def decode_fake(blob: bytes) -> dict:
-    """Deterministic decode of the FAKE container. Real formats (PNG/JPEG
-    magic etc.) raise NotImplementedError — callers map that to an error
-    row, keeping the job alive (same error-channel contract as the
-    document pipeline)."""
+    """Deterministic decode of the FAKE container (synth/test payloads)."""
     if blob[:4] != b"FAKE":
-        raise NotImplementedError(
-            "real media codecs are not available in this environment; "
-            "plug a decoder in here (PIL/ffmpeg) for non-FAKE payloads"
-        )
+        raise NotImplementedError("not a FAKE container")
     kind = _KINDS.get(blob[4], "unknown")
     off = 5
     if kind == "image":
@@ -98,7 +112,7 @@ def _featurize_one(media_id: int, blob: bytes) -> dict:
         "error": None,
     }
     try:
-        d = decode_fake(blob)
+        d = decode_media(blob)
     except NotImplementedError as e:
         out["error"] = f"no_codec: {str(e)[:80]}"
         return out
