@@ -1045,6 +1045,35 @@ SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over a deterministic mixed-container
+    media table (FAKE synth + real BMP/WAV/PNG + error rows). Oracle is
+    a VALUES literal whose expected values are computed with INDEPENDENT
+    stdlib integer arithmetic from the source arrays, never through the
+    decode path (tools/gen_values_oracles.py)."""
+    from pdf_parser_spark.functions.multimodal import (
+        build_demo_media,
+        featurize_media,
+    )
+
+    media = spark.createDataFrame(
+        build_demo_media(), "media_id long, payload binary"
+    )
+    out = featurize_media(media)
+    return out.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "channels",
+        "n_frames",
+        "sample_rate",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.split("error", ":").getItem(0).alias("error_class"),
+    )
+
+
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return (
@@ -1094,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_profile": q_lang_profile,
         "language_id": q_language_id,
         "dedup_clusters": q_dedup_clusters,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1127,4 +1157,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _VALUES.EMBEDDING_NEAR_DUP_ORACLE,
         "language_id": Q_LANGUAGE_ID_ORACLE,
         "dedup_clusters": Q_DEDUP_CLUSTERS_ORACLE,
+        "multimodal_features": _VALUES.MULTIMODAL_ORACLE,
     }

@@ -104,6 +104,41 @@ def encode_fake_video(w: int, h: int, nf: int, seed: int) -> bytes:
     return b"FAKE\x02" + struct.pack("<HHH", w, h, nf) + f.tobytes()
 
 
+def build_demo_media(n: int = 24) -> list[tuple[int, bytes]]:
+    """Deterministic mixed-container media set for the contract query
+    and its oracle generator: FAKE image/audio/video, real BMP/WAV/PNG,
+    plus two rows that exercise the error channel (JPEG magic with no
+    codec; garbage bytes). Same id -> same payload, always."""
+    from ..kernels import media_codecs as mc
+
+    rows: list[tuple[int, bytes]] = []
+    for i in range(n):
+        kind = i % 6
+        if kind == 0:
+            rows.append((i, encode_fake_image(16 + i, 12, (i % 3) + 1, i)))
+        elif kind == 1:
+            rows.append((i, encode_fake_audio(8000, 1000 + i, i)))
+        elif kind == 2:
+            rows.append((i, encode_fake_video(8, 6, 5 + (i % 4), i)))
+        elif kind == 3:
+            rng = np.random.Generator(np.random.PCG64([91, i]))
+            px = rng.integers(
+                0, 256, (10 + i % 5, 7 + i % 3, 3), dtype=np.uint8
+            )
+            rows.append((i, mc.encode_bmp(px)))
+        elif kind == 4:
+            rng = np.random.Generator(np.random.PCG64([92, i]))
+            s = rng.integers(-30000, 30000, 500 + i, dtype=np.int16)
+            rows.append((i, mc.encode_wav(s, 16000)))
+        else:
+            rng = np.random.Generator(np.random.PCG64([93, i]))
+            px = rng.integers(0, 256, (9, 11, (i % 4) + 1), dtype=np.uint8)
+            rows.append((i, mc.encode_png(px)))
+    rows.append((n, b"\xff\xd8\xff\xe0no-jpeg-codec-here"))
+    rows.append((n + 1, b"not-a-container-at-all"))
+    return rows
+
+
 def _featurize_one(media_id: int, blob: bytes) -> dict:
     out = {
         "media_id": media_id, "kind": None, "width": None, "height": None,

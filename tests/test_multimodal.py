@@ -20,8 +20,9 @@ def media_df(spark):
         (1, encode_fake_image(64, 48, 3, seed=1)),
         (2, encode_fake_audio(16000, 32000, seed=2)),
         (3, encode_fake_video(32, 24, 10, seed=3)),
-        (4, b"\x89PNG\r\n\x1a\n real png without a codec"),
+        (4, b"\xff\xd8\xff\xe0 jpeg really has no codec here"),
         (5, b""),
+        (6, b"\x89PNG\r\n\x1a\n corrupt png body"),
     ]
     return spark.createDataFrame(rows, ["media_id", "payload"])
 
@@ -29,7 +30,7 @@ def media_df(spark):
 def test_featurize_schema_and_rows(media_df):
     out = featurize_media(media_df)
     rows = {r.media_id: r for r in out.collect()}
-    assert len(rows) == 5
+    assert len(rows) == 6
 
     img = rows[1]
     assert (img.kind, img.width, img.height, img.channels) == ("image", 64, 48, 3)
@@ -45,9 +46,12 @@ def test_featurize_schema_and_rows(media_df):
     assert vid.kind == "video" and vid.n_frames == 10
     assert len(vid.feature_vec) == 5  # every 2nd frame of 10
 
-    # real format without codec -> stubbed NotImplementedError -> error row
+    # real format without codec (JPEG) -> NotImplementedError -> error row
     assert rows[4].error is not None and rows[4].error.startswith("no_codec")
     assert rows[5].error is not None
+    # PNG has a REAL stdlib codec now (kernels/media_codecs.py): a
+    # corrupt body is a decode error, not a missing codec
+    assert rows[6].error is not None and rows[6].error.startswith("bad_media")
 
 
 def test_decode_deterministic():

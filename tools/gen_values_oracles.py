@@ -130,6 +130,75 @@ def gen_embedding_pairs(
     return out
 
 
+def gen_multimodal_rows(n: int = 24) -> list[tuple]:
+    """Expected features for build_demo_media, computed with INDEPENDENT
+    stdlib integer arithmetic from the SOURCE arrays (uint8/int16 sums
+    are exact in both int and float64-pairwise summation, so these equal
+    the engine's numpy means bit-for-bit) — never through the decode
+    path under test."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        kind = i % 6
+        if kind == 0:  # FAKE image
+            w, h, c = 16 + i, 12, (i % 3) + 1
+            rng = np.random.Generator(np.random.PCG64(i))
+            px = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+            mean = int(px.sum(dtype=np.int64)) / px.size
+            rows.append(
+                (i, "image", w, h, c, None, None, None, _round6(mean), None)
+            )
+        elif kind == 1:  # FAKE audio
+            nsamp = 1000 + i
+            rng = np.random.Generator(np.random.PCG64(i))
+            s = rng.integers(-(2**15), 2**15, nsamp, dtype=np.int16)
+            mean = sum(abs(int(x)) for x in s) / nsamp
+            rows.append(
+                (i, "audio", None, None, None, None, 8000,
+                 _round6(nsamp / 8000), _round6(mean), None)
+            )
+        elif kind == 2:  # FAKE video (every 2nd frame sampled)
+            w, h, nf = 8, 6, 5 + (i % 4)
+            rng = np.random.Generator(np.random.PCG64(i))
+            f = rng.integers(0, 256, (nf, h, w), dtype=np.uint8)
+            sampled = f[::2]
+            mean = int(sampled.sum(dtype=np.int64)) / sampled.size
+            rows.append(
+                (i, "video", w, h, None, nf, None, None, _round6(mean), None)
+            )
+        elif kind == 3:  # real BMP
+            h, w = 10 + i % 5, 7 + i % 3
+            rng = np.random.Generator(np.random.PCG64([91, i]))
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            mean = int(px.sum(dtype=np.int64)) / px.size
+            rows.append(
+                (i, "image", w, h, 3, None, None, None, _round6(mean), None)
+            )
+        elif kind == 4:  # real WAV
+            nsamp = 500 + i
+            rng = np.random.Generator(np.random.PCG64([92, i]))
+            s = rng.integers(-30000, 30000, nsamp, dtype=np.int16)
+            mean = sum(abs(int(x)) for x in s) / nsamp
+            rows.append(
+                (i, "audio", None, None, None, None, 16000,
+                 _round6(nsamp / 16000), _round6(mean), None)
+            )
+        else:  # real PNG
+            c = (i % 4) + 1
+            rng = np.random.Generator(np.random.PCG64([93, i]))
+            px = rng.integers(0, 256, (9, 11, c), dtype=np.uint8)
+            mean = int(px.sum(dtype=np.int64)) / px.size
+            rows.append(
+                (i, "image", 11, 9, c, None, None, None, _round6(mean), None)
+            )
+    rows.append((n, None, None, None, None, None, None, None, None, "no_codec"))
+    rows.append(
+        (n + 1, None, None, None, None, None, None, None, None, "bad_media")
+    )
+    return rows
+
+
 def _sql_str(v) -> str:
     if v is None:
         return "NULL"
@@ -175,13 +244,42 @@ def build() -> str:
             "CAST(NULL AS DOUBLE) AS cosine WHERE 1 = 0"
         )
 
+    mm_rows = gen_multimodal_rows()
+    def _cell(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return _sql_str(v)
+        return f"'{v}'" if not isinstance(v, int) else str(v)
+
+    mm_values = ",\n".join(
+        "  (" + ", ".join(_cell(c) for c in row) + ")" for row in mm_rows
+    )
+    mm_sql = (
+        "-- VALUES-ORACLE: independent stdlib-arithmetic replica, "
+        "tools/gen_values_oracles.py\n"
+        "SELECT CAST(media_id AS BIGINT) AS media_id,\n"
+        "       CAST(kind AS VARCHAR) AS kind,\n"
+        "       CAST(width AS INT) AS width, CAST(height AS INT) AS height,\n"
+        "       CAST(channels AS INT) AS channels,\n"
+        "       CAST(n_frames AS INT) AS n_frames,\n"
+        "       CAST(sample_rate AS INT) AS sample_rate,\n"
+        "       CAST(duration_s AS DOUBLE) AS duration_s,\n"
+        "       CAST(mean_intensity AS DOUBLE) AS mean_intensity,\n"
+        "       CAST(error_class AS VARCHAR) AS error_class\n"
+        f"FROM (VALUES\n{mm_values}\n"
+        ") AS t(media_id, kind, width, height, channels, n_frames, "
+        "sample_rate, duration_s, mean_intensity, error_class)"
+    )
+
     body = (
         '"""GENERATED by tools/gen_values_oracles.py — do not edit.\n\n'
         "VALUES-literal DuckDB oracles for the non-SQL-expressible\n"
         "contract queries, computed by independent pure-Python replicas\n"
         '(see the generator for the derivation).\n"""\n\n'
         f"PDF_EXTRACT_ORACLE = {pdf_sql!r}\n\n"
-        f"EMBEDDING_NEAR_DUP_ORACLE = {emb_sql!r}\n"
+        f"EMBEDDING_NEAR_DUP_ORACLE = {emb_sql!r}\n\n"
+        f"MULTIMODAL_ORACLE = {mm_sql!r}\n"
     )
     out_path = os.path.join(REPO, "oracle_values.py")
     with open(out_path, "w") as f:
