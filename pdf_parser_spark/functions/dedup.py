@@ -477,24 +477,17 @@ def embedding_near_dup(
                     out[f"bit_{i}"] = bits[:, i]
                 yield out
 
-        # fat-binary sessions cap Arrow batches at 8 rows; doc text rows
-        # are slim, so raise the batch size for this eager write. The
-        # single parquet file of documents would give one input split —
-        # repartition so every core gets a slice.
-        batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-        old_batch = spark.conf.get(batch_key, None)
-        spark.conf.set(batch_key, "4096")
-        try:
-            (
-                df.select(F.col(id_col), F.col(text_col))
-                .repartition(spark.sparkContext.defaultParallelism)
-                .mapInPandas(build_sided, schema=sided_schema)
-                .write.mode("overwrite")
-                .parquet(out_dir)
-            )
-        finally:
-            if old_batch is not None:
-                spark.conf.set(batch_key, old_batch)
+        # the single parquet file of documents would give one input
+        # split — repartition so every core gets a slice. Batch sizing
+        # needs no per-op override: the session's byte-capped Arrow
+        # batching (session.py) gives slim text rows large batches.
+        (
+            df.select(F.col(id_col), F.col(text_col))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(build_sided, schema=sided_schema)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
     else:
         counts = _hashed_bow_counts(df, dim, text_col, id_col, hash_fn)
         cnt = [F.col(f"b{i}").cast("double") for i in range(dim)]
