@@ -1074,6 +1074,70 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style keep/drop filter with per-rule reasons."""
+    from pdf_parser_spark.functions import gopher_quality_filter
+
+    return gopher_quality_filter(_load(spark, sf_dir, "documents"))
+
+
+Q_GOPHER_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(trim(text), ' ')) AS n_tok,
+         length(text) AS n_chars,
+         length(text) * 1.0
+           / greatest(len(string_split(trim(text), ' ')), 1) AS cpt,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+           / greatest(length(text), 1) AS alpha,
+         len(list_distinct(string_split(trim(text), ' '))) * 1.0
+           / greatest(len(string_split(trim(text), ' ')), 1) AS dr
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         concat_ws(',',
+           CASE WHEN n_tok < 10 THEN 'too_few_tokens' END,
+           CASE WHEN n_tok > 100000 THEN 'too_many_tokens' END,
+           CASE WHEN cpt < 2.0 THEN 'short_tokens' END,
+           CASE WHEN cpt > 12.0 THEN 'long_tokens' END,
+           CASE WHEN alpha < 0.4 THEN 'low_alpha' END,
+           CASE WHEN dr < 0.2 THEN 'repetitive' END
+         ) AS reasons
+  FROM m
+)
+SELECT doc_id, reasons = '' AS keep, reasons FROM r
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling: per-language rates
+    (the multilingual rebalancing move); reproducible across engines,
+    partitionings and resumes by construction."""
+    from pdf_parser_spark.functions import stratified_sample
+
+    out = stratified_sample(
+        _load(spark, sf_dir, "documents"),
+        rates={"en": 50, "fr": 25, "de": 10},
+        strata_col="lang",
+        default_pct=5,
+    )
+    return out.select("doc_id", "lang")
+
+
+Q_STRATIFIED_ORACLE = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 25
+                         WHEN 'de' THEN 10 ELSE 5 END
+"""
+
+
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return (
@@ -1124,6 +1188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "dedup_clusters": q_dedup_clusters,
         "multimodal_features": q_multimodal_features,
+        "gopher_filter": q_gopher_filter,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1158,4 +1224,6 @@ def oracle_sql() -> dict[str, str]:
         "language_id": Q_LANGUAGE_ID_ORACLE,
         "dedup_clusters": Q_DEDUP_CLUSTERS_ORACLE,
         "multimodal_features": _VALUES.MULTIMODAL_ORACLE,
+        "gopher_filter": Q_GOPHER_ORACLE,
+        "stratified_sample": Q_STRATIFIED_ORACLE,
     }

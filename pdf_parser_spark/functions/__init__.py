@@ -29,7 +29,12 @@ from .similarity import (  # noqa: F401
 )
 from .quality import (  # noqa: F401
     bpe_token_stats,
+    gopher_quality_filter,
     language_id,
     quality_metrics,
     winnow_fingerprints,
+)
+from .sampling import (  # noqa: F401
+    deterministic_sample,
+    stratified_sample,
 )

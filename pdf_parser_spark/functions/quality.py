@@ -152,3 +152,45 @@ def winnow_fingerprints(
         F.lead("h", window - 1).over(w2).isNotNull().alias("full_window"),
     ).filter("full_window")
     return mins.select("doc_id", "fingerprint").distinct()
+
+
+def gopher_quality_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document filter: keep/drop decision plus the list of
+    failed rules (a curation pipeline keeps the reasons for audit).
+    Thresholds follow the Gopher paper's shape, scaled to this corpus:
+    token count in [10, 100000], mean chars/token in [2, 12],
+    alpha ratio >= 0.4, distinct-token ratio >= 0.2. Pure codegen
+    expressions over one pass; ``reasons`` is a stable comma-joined
+    string so the result is engine-comparable."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), " ")
+    n_tok = F.size(words)
+    n_chars = F.length(t)
+    cpt = n_chars.cast("double") / F.greatest(n_tok, F.lit(1))
+    alpha = (
+        F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+        / F.greatest(n_chars, F.lit(1))
+    )
+    distinct_ratio = (
+        F.size(F.array_distinct(words)).cast("double")
+        / F.greatest(n_tok, F.lit(1))
+    )
+    rules = [
+        ("too_few_tokens", n_tok < 10),
+        ("too_many_tokens", n_tok > 100000),
+        ("short_tokens", cpt < 2.0),
+        ("long_tokens", cpt > 12.0),
+        ("low_alpha", alpha < 0.4),
+        ("repetitive", distinct_ratio < 0.2),
+    ]
+    reasons = F.concat_ws(
+        ",",
+        *[F.when(cond, F.lit(name)) for name, cond in rules],
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )

@@ -264,3 +264,39 @@ def test_dedup_clusters_long_chain_converges(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_deterministic_sample_is_stable_and_proportional(spark):
+    from pdf_parser_spark.functions import deterministic_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = {r.doc_id for r in deterministic_sample(docs, 30).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in deterministic_sample(
+            docs.repartition(7), 30
+        ).select("doc_id").collect()
+    }
+    assert a == b  # partitioning-independent: decision is keyed on the row
+    assert 0.15 <= len(a) / 500 <= 0.45  # ~30% within hash tolerance
+    # monotone in pct: a 30% sample contains the 10% sample
+    c = {r.doc_id for r in deterministic_sample(docs, 10).select("doc_id").collect()}
+    assert c <= a
+
+
+def test_gopher_filter_reasons(spark):
+    from pdf_parser_spark import schemas  # noqa: F401  (import check)
+    from pdf_parser_spark.functions import gopher_quality_filter
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+        (2, "a b"),                      # too few tokens + short tokens
+        (3, "zz " * 200),                # repetitive
+        (4, "12345 67890 11111 22222 33333 44444 55555 66666 77777 88888 99999"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in gopher_quality_filter(df).collect()}
+    assert got[1].keep and got[1].reasons == ""
+    assert not got[2].keep and "too_few_tokens" in got[2].reasons
+    assert not got[3].keep and "repetitive" in got[3].reasons
+    assert not got[4].keep and "low_alpha" in got[4].reasons
