@@ -28,8 +28,8 @@ from .glyphs import decode_region
 from .pixel import (
     component_bboxes,
     connected_components,
-    dilate_rect,
     erode_rect,
+    open_rect_binary,
     threshold_binary_otsu,
 )
 
@@ -43,8 +43,11 @@ def _line_masks(gray: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     binary = threshold_binary_otsu(gray)
     ink = 255 - binary
     length = max(2, gray.shape[1] // 100)
-    hor = dilate_rect(erode_rect(ink, length, 1, 3), length, 1, 3)
-    ver = dilate_rect(erode_rect(ink, 1, length, 3), 1, length, 3)
+    # open_rect_binary == dilate_rect(erode_rect(...)) for binary input
+    # (pinned by test_pixel), one bool-domain chain instead of four
+    # uint8 passes — the page-kernel hot path
+    hor = open_rect_binary(ink, length, 1, 3)
+    ver = open_rect_binary(ink, 1, length, 3)
     return hor, ver
 
 

@@ -98,3 +98,29 @@ def test_connected_components_diagonal_not_connected():
     img = np.eye(3, dtype=np.uint8)
     _, n = connected_components(img)
     assert n == 3  # 4-connectivity
+
+
+def test_open_rect_binary_equals_erode_then_dilate():
+    """The bool-domain opening must be byte-identical to the uint8
+    erode->dilate chain on binary images (it replaced that chain in the
+    ruling-line hot path)."""
+    import numpy as np
+
+    from pdf_parser_spark.kernels.pixel import (
+        dilate_rect,
+        erode_rect,
+        open_rect_binary,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    for h, w, kw, kh, it in [
+        (60, 80, 8, 1, 3),
+        (60, 80, 1, 8, 3),
+        (37, 53, 5, 5, 2),
+        (10, 10, 2, 2, 1),
+        (5, 200, 41, 1, 3),
+    ]:
+        img = (rng.integers(0, 2, (h, w), dtype=np.uint8)) * 255
+        ref = dilate_rect(erode_rect(img, kw, kh, it), kw, kh, it)
+        got = open_rect_binary(img, kw, kh, it)
+        assert np.array_equal(got, ref), (h, w, kw, kh, it)
