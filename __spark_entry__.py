@@ -1138,6 +1138,76 @@ WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 25
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup over deterministic crawl
+    variants (scheme/port/trailing-slash/fragment/query-order) of
+    documents ids — the pre-content dedup step of a CC pipeline. Both
+    engines build the SAME input urls from doc_id, so the oracle checks
+    the canonicalizer itself."""
+    from pdf_parser_spark.functions import url_dedup
+
+    d = _load(spark, sf_dir, "documents")
+    three = F.col("doc_id") % 3
+    five = F.col("doc_id") % 5
+    url = F.concat(
+        F.when(three == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(three == 1, F.lit("Crawl.Example.com")).otherwise(
+            F.lit("crawl.example.com")
+        ),
+        F.when(three == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/doc/"),
+        (F.floor(F.col("doc_id") / 7)).cast("long").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(five == 0, F.lit("?b=2&a=1#frag"))
+        .when(five == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("")),
+    )
+    return url_dedup(d.select(url.alias("url"), "doc_id"))
+
+
+Q_URL_DEDUP_ORACLE = r"""
+WITH u AS (
+  SELECT doc_id,
+         concat(
+           CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+           CASE WHEN doc_id % 3 = 1 THEN 'Crawl.Example.com'
+                ELSE 'crawl.example.com' END,
+           CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,
+           '/doc/', CAST(doc_id // 7 AS VARCHAR),
+           CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+           CASE WHEN doc_id % 5 = 0 THEN '?b=2&a=1#frag'
+                WHEN doc_id % 5 = 1 THEN '?a=1&b=2' ELSE '' END
+         ) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
+         regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM u
+),
+canon AS (
+  SELECT doc_id,
+         concat(
+           scheme, '://',
+           CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END,
+           CASE WHEN raw_path IN ('', '/') THEN '/'
+                ELSE regexp_replace(raw_path, '/+$', '') END,
+           CASE WHEN query = '' THEN ''
+                ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END
+         ) AS canon_url
+  FROM parts
+)
+SELECT canon_url, min(doc_id) AS keeper_id,
+       count(*) AS n_variants
+FROM canon GROUP BY canon_url
+"""
+
+
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return (
@@ -1190,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "gopher_filter": q_gopher_filter,
         "stratified_sample": q_stratified_sample,
+        "url_dedup": q_url_dedup,
     }
 
 
@@ -1226,4 +1297,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _VALUES.MULTIMODAL_ORACLE,
         "gopher_filter": Q_GOPHER_ORACLE,
         "stratified_sample": Q_STRATIFIED_ORACLE,
+        "url_dedup": Q_URL_DEDUP_ORACLE,
     }

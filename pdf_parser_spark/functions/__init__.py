@@ -38,3 +38,7 @@ from .sampling import (  # noqa: F401
     deterministic_sample,
     stratified_sample,
 )
+from .urlops import (  # noqa: F401
+    canonical_url,
+    url_dedup,
+)

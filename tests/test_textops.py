@@ -300,3 +300,24 @@ def test_gopher_filter_reasons(spark):
     assert not got[2].keep and "too_few_tokens" in got[2].reasons
     assert not got[3].keep and "repetitive" in got[3].reasons
     assert not got[4].keep and "low_alpha" in got[4].reasons
+
+
+def test_canonical_url_rules(spark):
+    from pdf_parser_spark.functions import canonical_url
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("HTTPS://News.Example.com:443/A/B/?b=2&a=1#frag",
+         "https://news.example.com/A/B?a=1&b=2"),
+        ("http://example.com:80/x", "http://example.com/x"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/", "https://example.com/"),
+        ("https://example.com/path///", "https://example.com/path"),
+        ("https://example.com/x?z=1", "https://example.com/x?z=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [
+        r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
