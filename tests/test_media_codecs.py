@@ -134,3 +134,45 @@ def test_featurize_one_uses_real_codecs():
 
     r = _featurize_one(3, b"\xff\xd8\xff\xe0 jpeg-ish")
     assert r["error"] is not None and r["error"].startswith("no_codec")
+
+
+# ---------------------------------------------------- property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    c=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31),
+)
+def test_bmp_roundtrip_property(h, w, c, seed):
+    px = _img(h, w, c, seed=seed)
+    d = mc.decode_bmp(mc.encode_bmp(px))
+    assert np.array_equal(d["pixels"], px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    px = _img(h, w, c, seed=seed)
+    d = mc.decode_png(mc.encode_png(px))
+    assert np.array_equal(d["pixels"], px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(n=st.integers(1, 2000), sr=st.sampled_from([8000, 16000, 44100]),
+       seed=st.integers(0, 2**31))
+def test_wav_roundtrip_property(n, sr, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    s = rng.integers(-32768, 32768, n, dtype=np.int16)
+    d = mc.decode_wav(mc.encode_wav(s, sr))
+    assert d["sample_rate"] == sr and np.array_equal(d["samples"], s)

@@ -1,0 +1,101 @@
+"""WARC DataSource: real Common-Crawl delivery format -> input table.
+Round-trips plain and gzipped files, strips HTTP headers, skips
+non-response records, and feeds the extraction pipeline end-to-end."""
+
+from datetime import datetime
+
+from pdf_parser_spark.sources.warc import (
+    WarcDataSource,
+    iter_warc_records,
+    write_warc,
+)
+
+
+def _records():
+    return [
+        ("warcinfo", None, "2024-03-01T00:00:00Z", b"software: test\r\n"),
+        (
+            "request",
+            "https://a.example/x",
+            "2024-03-01T01:00:00Z",
+            b"GET /x HTTP/1.1\r\n",
+        ),
+        (
+            "response",
+            "https://a.example/x",
+            "2024-03-01T01:00:01Z",
+            _page("hello A this is the main article body of page A "
+                  "with enough words to count as content"),
+        ),
+        (
+            "response",
+            "https://b.example/y",
+            "2024-03-01T02:00:02Z",
+            _page("hello B this is the main article body of page B "
+                  "with enough words to count as content"),
+        ),
+    ]
+
+
+def _page(text: str) -> bytes:
+    return (
+        "<!DOCTYPE html><html><head><title>t</title></head><body>"
+        '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+        f"<article><p>{text}</p></article>"
+        '<footer><a href="/p">Privacy</a></footer></body></html>'
+    ).encode()
+
+
+def test_warc_read_plain_and_gzip(spark, tmp_path):
+    write_warc(_records(), str(tmp_path / "a.warc"))
+    write_warc(_records()[:3], str(tmp_path / "b.warc.gz"), compress=True)
+    (tmp_path / "ignored.txt").write_text("not a warc")
+
+    spark.dataSource.register(WarcDataSource)
+    df = (
+        spark.read.format("warc")
+        .option("path", str(tmp_path))
+        .option("files_per_partition", "1")
+        .load()
+    )
+    rows = sorted(df.collect(), key=lambda r: (r.url, r.warc_ts))
+    # 2 responses from a.warc + 1 from b.warc.gz; request/warcinfo skipped
+    assert [r.url for r in rows] == [
+        "https://a.example/x",
+        "https://a.example/x",
+        "https://b.example/y",
+    ]
+    body = bytes(rows[0].html)
+    assert body.startswith(b"<!DOCTYPE html>") and b"hello A" in body
+    assert b"HTTP/1.1" not in body  # HTTP headers stripped
+    assert rows[0].warc_ts == datetime(2024, 3, 1, 1, 0, 1)
+    assert rows[0].text == "" and rows[0].lang is None
+
+
+def test_warc_feeds_extraction(spark, tmp_path):
+    from pdf_parser_spark.operators import extract_stage
+
+    write_warc(_records(), str(tmp_path / "a.warc"))
+    spark.dataSource.register(WarcDataSource)
+    df = spark.read.format("warc").option("path", str(tmp_path)).load()
+    out = {r.url: r for r in extract_stage(df).collect()}
+    assert out["https://a.example/x"].error is None
+    assert out["https://a.example/x"].extracted_text.startswith("hello A")
+    assert out["https://b.example/y"].extracted_text.startswith("hello B")
+
+
+def test_warc_parser_structure(tmp_path):
+    import io as _io
+
+    write_warc(_records(), str(tmp_path / "a.warc"))
+    with open(tmp_path / "a.warc", "rb") as f:
+        recs = list(iter_warc_records(f))
+    assert [h["warc-type"] for h, _ in recs] == [
+        "warcinfo", "request", "response", "response",
+    ]
+    # corrupt framing raises, not hangs
+    try:
+        list(iter_warc_records(_io.BytesIO(b"NOT-A-WARC\r\n\r\n")))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
