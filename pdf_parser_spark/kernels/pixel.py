@@ -120,43 +120,45 @@ def dilate_rect(img: np.ndarray, kw: int, kh: int, iterations: int = 1) -> np.nd
     return out
 
 
-def _vanherk_bool(bp: np.ndarray, window: int, op, identity: bool, axis: int) -> np.ndarray:
-    """van Herk on BOOL arrays (logical_and/or accumulate): same scan
-    structure as _vanherk but ~30% faster per pass — numpy's boolean
-    accumulate loops beat minimum/maximum on uint8. Valid only for
-    binary images, where min==AND and max==OR."""
-    if axis == 1:
-        h, m = bp.shape
-        nb = -(-m // window)
-        padded = np.full((h, nb * window), identity, dtype=bool)
-        padded[:, :m] = bp
-        blocks = padded.reshape(h, nb, window)
-        pref = op.accumulate(blocks, axis=2).reshape(h, nb * window)
-        suff = op.accumulate(blocks[:, :, ::-1], axis=2)[:, :, ::-1].reshape(
-            h, nb * window
-        )
-        return op(suff[:, : m - window + 1], pref[:, window - 1 : m])
-    m, w_cols = bp.shape
-    nb = -(-m // window)
-    padded = np.full((nb * window, w_cols), identity, dtype=bool)
-    padded[:m, :] = bp
-    blocks = padded.reshape(nb, window, w_cols)
-    pref = op.accumulate(blocks, axis=1).reshape(nb * window, w_cols)
-    suff = op.accumulate(blocks[:, ::-1, :], axis=1)[:, ::-1, :].reshape(
-        nb * window, w_cols
-    )
-    return op(suff[: m - window + 1, :], pref[window - 1 : m, :])
-
-
 def _sliding_bool(bp: np.ndarray, window: int, axis: int, op, identity: bool, pad_value: bool) -> np.ndarray:
+    """Sliding bool AND/OR via van Herk scans, ALLOCATION-LEAN: the
+    border pad and the block pad share one buffer, both scans accumulate
+    in place (the suffix on a contiguous reversed copy), and only the
+    combined output is a fresh array. The original formulation's six
+    full-frame array writes per pass made the kernel memory-bandwidth
+    bound at high core counts (this is the hottest per-page loop)."""
     if window <= 1:
         return bp
     pad_before = window // 2
-    pad_after = window - 1 - pad_before
-    pads = [(0, 0), (0, 0)]
-    pads[axis] = (pad_before, pad_after)
-    ap = np.pad(bp, pads, mode="constant", constant_values=pad_value)
-    return _vanherk_bool(ap, window, op, identity, axis)
+    if axis == 1:
+        h, m = bp.shape
+        mp = m + window - 1
+        nb = -(-mp // window)
+        buf = np.empty((h, nb * window), dtype=bool)
+        buf[:, :pad_before] = pad_value
+        buf[:, pad_before : pad_before + m] = bp
+        buf[:, pad_before + m : mp] = pad_value  # border pad (after)
+        buf[:, mp:] = identity                   # block padding
+        blocks = buf.reshape(h, nb, window)
+        rev = np.ascontiguousarray(blocks[:, :, ::-1])
+        op.accumulate(blocks, axis=2, out=blocks)  # prefix, in place
+        op.accumulate(rev, axis=2, out=rev)        # suffix, in place
+        suff = rev[:, :, ::-1].reshape(h, nb * window)
+        return op(suff[:, : mp - window + 1], buf[:, window - 1 : mp])
+    m, w_cols = bp.shape
+    mp = m + window - 1
+    nb = -(-mp // window)
+    buf = np.empty((nb * window, w_cols), dtype=bool)
+    buf[:pad_before] = pad_value
+    buf[pad_before : pad_before + m] = bp
+    buf[pad_before + m : mp] = pad_value
+    buf[mp:] = identity
+    blocks = buf.reshape(nb, window, w_cols)
+    rev = np.ascontiguousarray(blocks[:, ::-1, :])
+    op.accumulate(blocks, axis=1, out=blocks)
+    op.accumulate(rev, axis=1, out=rev)
+    suff = rev[:, ::-1, :].reshape(nb * window, w_cols)
+    return op(suff[: mp - window + 1], buf[window - 1 : mp])
 
 
 def open_rect_binary(img: np.ndarray, kw: int, kh: int, iterations: int = 1) -> np.ndarray:
