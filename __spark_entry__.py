@@ -1208,6 +1208,87 @@ FROM canon GROUP BY canon_url
 """
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents text with deterministic injected PII
+    (emails / IPv4 / phone runs derived from doc_id in BOTH engines, so
+    the oracle checks the redaction itself). Output keeps counts and a
+    hash of the cleaned text (full clean_text would bloat the compare)."""
+    from pdf_parser_spark.functions import redact_pii
+
+    d = _load(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.org now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" server 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 down"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" call +1-555-01"),
+                (F.col("doc_id") % 90 + 10).cast("string"),
+                F.lit("-9"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    out = redact_pii(d.select("doc_id", injected.alias("text")))
+    return out.select(
+        "doc_id",
+        F.sha2(F.col("clean_text"), 256).alias("clean_sha"),
+        "n_emails",
+        "n_ips",
+        "n_phones",
+    )
+
+
+Q_REDACT_PII_ORACLE = r"""
+WITH inj AS (
+  SELECT doc_id,
+         concat(
+           text,
+           CASE WHEN doc_id % 4 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.org now' ELSE '' END,
+           CASE WHEN doc_id % 5 = 0
+                THEN ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.7 down' ELSE '' END,
+           CASE WHEN doc_id % 7 = 0
+                THEN ' call +1-555-01' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                     || '-9' ELSE '' END
+         ) AS text
+  FROM documents
+)
+SELECT doc_id,
+       sha256(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+           '\+?[0-9][0-9-]{7,13}[0-9]', '<PHONE>', 'g')
+       ) AS clean_sha,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text,
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+       len(regexp_extract_all(text,
+           '\+?[0-9][0-9-]{7,13}[0-9]')) AS n_phones
+FROM inj
+"""
+
+
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return (
@@ -1261,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "stratified_sample": q_stratified_sample,
         "url_dedup": q_url_dedup,
+        "redact_pii": q_redact_pii,
     }
 
 
@@ -1298,4 +1380,5 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": Q_GOPHER_ORACLE,
         "stratified_sample": Q_STRATIFIED_ORACLE,
         "url_dedup": Q_URL_DEDUP_ORACLE,
+        "redact_pii": Q_REDACT_PII_ORACLE,
     }

@@ -32,6 +32,7 @@ from .quality import (  # noqa: F401
     gopher_quality_filter,
     language_id,
     quality_metrics,
+    redact_pii,
     winnow_fingerprints,
 )
 from .sampling import (  # noqa: F401

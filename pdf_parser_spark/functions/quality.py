@@ -194,3 +194,32 @@ def gopher_quality_filter(
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+# PII patterns — deliberately lookaround-free so Java regex (Spark) and
+# RE2 (DuckDB) match identically; replacement is all-occurrences on both
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9-]{7,13}[0-9]"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Training-data PII scrub: emails / IPv4 addresses / phone-like
+    digit runs replaced by typed placeholders, with per-kind counts for
+    audit (counts are measured on the ORIGINAL text per pattern).
+    Replacement order email -> ip -> phone so the email/host digits are
+    gone before the looser phone pattern runs. One codegen pass, no
+    shuffle — the same per-row shape as the quality metrics."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_IPV4, "<IP>")
+    clean = F.regexp_replace(clean, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean_text"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0)).alias("n_phones"),
+    )

@@ -321,3 +321,21 @@ def test_canonical_url_rules(spark):
         r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_redact_pii_rules(spark):
+    from pdf_parser_spark.functions import redact_pii
+
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.org or 10.1.2.3 thanks"),
+        (2, "call +1-555-0123-456 today"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert got[1].clean_text == "mail me at <EMAIL> or <IP> thanks"
+    assert got[1].n_emails == 1 and got[1].n_ips == 1
+    assert got[2].clean_text == "call <PHONE> today"
+    assert got[2].n_phones == 1
+    assert got[3].clean_text == rows[2][1]
+    assert (got[3].n_emails, got[3].n_ips, got[3].n_phones) == (0, 0, 0)
