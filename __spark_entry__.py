@@ -6,9 +6,11 @@ extraction pipeline over Common-Crawl-style pages synthesized from the
 
 ``queries()`` exposes one entry per implemented operator family from
 SURVEY.md §2 plus the training-data operators (dedup / similarity /
-quality); ``oracle_sql()`` gives the DuckDB twin for every
-SQL-expressible one. Non-SQL-expressible entries (xxhash64-based
-minhash/simhash/winnowing, the glyph-OCR pdf path) are rows-only checks.
+quality / sampling / multimodal / PII); ``oracle_sql()`` gives every
+query an oracle: DuckDB SQL where expressible (including md5-derived
+60-bit hashes both engines compute identically), or VALUES literals
+produced by independent pure-Python replicas at authoring time
+(tools/gen_values_oracles.py) for the LSH / raster / media paths.
 """
 
 from __future__ import annotations
