@@ -339,3 +339,33 @@ def test_redact_pii_rules(spark):
     assert got[2].n_phones == 1
     assert got[3].clean_text == rows[2][1]
     assert (got[3].n_emails, got[3].n_ips, got[3].n_phones) == (0, 0, 0)
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) — the canonical form must
+    be a fixpoint, else repeated pipeline passes change keys."""
+    from pdf_parser_spark.functions import canonical_url
+    from pyspark.sql import functions as F
+
+    urls = []
+    for i in range(60):
+        scheme = ["http", "https", "HTTP", "ftp"][i % 4]
+        host = ["A.b.C", "x.example.com:8080", "example.com:443"][i % 3]
+        path = ["", "/", "/p/q///", "/p"][(i // 3) % 4]
+        q = ["", "?b=1&a=2", "?z"][(i // 5) % 3]
+        frag = ["", "#f"][(i // 7) % 2]
+        urls.append(f"{scheme}://{host}{path}{q}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = canonical_url(F.col("url"))
+    rows = df.select(
+        once.alias("c1"), canonical_url(once).alias("c2")
+    ).collect()
+    for r in rows:
+        assert r.c1 == r.c2, r
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    from pdf_parser_spark.functions import dedup_clusters
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(empty).count() == 0
