@@ -99,3 +99,37 @@ def test_warc_parser_structure(tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_warc_concatenated_gzip_members(spark, tmp_path):
+    """Common Crawl gzips each record as its own member and concatenates
+    them; Python's gzip reads the concatenation transparently, and the
+    reader must see every record."""
+    import gzip
+
+    recs = _records()
+    path = tmp_path / "multi.warc.gz"
+    with open(path, "wb") as f:
+        for rec in recs:
+            f.write(gzip.compress(_raw_record(rec)))
+
+    spark.dataSource.register(WarcDataSource)
+    df = spark.read.format("warc").option("path", str(tmp_path)).load()
+    urls = sorted(r.url for r in df.collect())
+    assert urls == ["https://a.example/x", "https://b.example/y"]
+
+
+def _raw_record(rec):
+    """Serialize one record the way write_warc does, standalone."""
+    warc_type, uri, date_iso, payload = rec
+    if warc_type == "response":
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
+        )
+    head = [b"WARC/1.0", f"WARC-Type: {warc_type}".encode()]
+    if uri:
+        head.append(f"WARC-Target-URI: {uri}".encode())
+    if date_iso:
+        head.append(f"WARC-Date: {date_iso}".encode())
+    head.append(f"Content-Length: {len(payload)}".encode())
+    return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
