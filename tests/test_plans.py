@@ -104,3 +104,20 @@ def test_whole_stage_codegen_on_relational_path(spark):
     plan = plan_of(df, "simple")
     assert "isFinalPlan=true" in plan
     assert "*(" in plan
+
+
+def test_embedding_near_dup_single_embed_pass(spark):
+    """The round-1 plan computed the 64-aggregate embedding subplan once
+    per self-join side; the fix materializes (embedding, nrm, bits) to
+    parquet ONCE and both join sides scan that table. Pin the shape:
+    the returned plan contains parquet scans of the scratch table and
+    ZERO aggregates / zero text-column reads (all per-doc computation
+    happened in the eager kernel write)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pdf_parser_spark.functions import embedding_near_dup
+
+    out = embedding_near_dup(docs, threshold=0.95, hash_fn="md5")
+    plan = plan_of(out)
+    assert count_nodes(plan, "HashAggregate") == 2  # only the final distinct
+    assert "documents.parquet" not in plan  # corpus is NOT re-read
+    assert plan.count("pps_embnd_") >= 1  # scans the materialized table
