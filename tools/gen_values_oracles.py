@@ -281,12 +281,15 @@ def build() -> str:
         f"EMBEDDING_NEAR_DUP_ORACLE = {emb_sql!r}\n\n"
         f"MULTIMODAL_ORACLE = {mm_sql!r}\n"
     )
-    out_path = os.path.join(REPO, "oracle_values.py")
+    return body
+
+
+def write(out_path: str | None = None) -> str:
+    out_path = out_path or os.path.join(REPO, "oracle_values.py")
     with open(out_path, "w") as f:
-        f.write(body)
+        f.write(build())
     return out_path
 
 
 if __name__ == "__main__":
-    p = build()
-    print(p)
+    print(write())
