@@ -585,6 +585,16 @@ SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
 """
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc clone pairs by shared winnowing fingerprints (md5
+    contract variant)."""
+    from pdf_parser_spark.functions import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _load(spark, sf_dir, "documents"), min_shared=2, hash_fn="md5"
+    )
+
+
 # winnow k=5, window=4 (functions/quality.py:winnow_fingerprints with
 # hash_fn='md5': kgram hash = md5 of the space-joined 5 words, sliding
 # 4-window min, windows complete only when lead(h,3) exists)
@@ -842,6 +852,32 @@ SELECT doc_id,
              / greatest(len(string_split(trim(text), ' ')), 1), 6)
          AS bpe_per_word
 FROM documents
+"""
+
+
+Q_WINNOW_OVERLAP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+),
+kg AS (
+  SELECT doc_id, i AS pos,
+         {_duck_h64("array_to_string(ws[i:i+4], ' ')")} AS h
+  FROM toks, unnest(range(1, len(ws) - 3)) AS u(i)
+),
+sel AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+           AS fingerprint,
+         lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+           AS full_window
+  FROM kg
+),
+fp AS (SELECT DISTINCT doc_id, fingerprint FROM sel WHERE full_window)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
 """
 
 
@@ -1345,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "url_dedup": q_url_dedup,
         "redact_pii": q_redact_pii,
+        "winnow_overlap": q_winnow_overlap,
     }
 
 
@@ -1383,4 +1420,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": Q_STRATIFIED_ORACLE,
         "url_dedup": Q_URL_DEDUP_ORACLE,
         "redact_pii": Q_REDACT_PII_ORACLE,
+        "winnow_overlap": Q_WINNOW_OVERLAP_ORACLE,
     }

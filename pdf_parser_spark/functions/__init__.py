@@ -34,6 +34,7 @@ from .quality import (  # noqa: F401
     quality_metrics,
     redact_pii,
     winnow_fingerprints,
+    winnow_overlap_pairs,
 )
 from .sampling import (  # noqa: F401
     deterministic_sample,

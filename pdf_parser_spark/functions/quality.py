@@ -223,3 +223,36 @@ def redact_pii(
         F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0)).alias("n_ips"),
         F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0)).alias("n_phones"),
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Cross-document clone detection: pairs of documents sharing >=
+    ``min_shared`` winnowing fingerprints — the MOSS-style span-overlap
+    join the fingerprints exist for (near-verbatim passages survive
+    edits far from the change).
+
+    Scale: the self-join key is the fingerprint; winnowing already
+    thins k-gram hashes ~1/window, and the shared-count aggregation is
+    map-side partial, so pair volume tracks actual clone mass, not
+    corpus size squared."""
+    fp = winnow_fingerprints(df, k, window, text_col, id_col, hash_fn)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

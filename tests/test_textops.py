@@ -369,3 +369,18 @@ def test_dedup_clusters_empty_pairs(spark):
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup_clusters(empty).count() == 0
+
+
+def test_winnow_overlap_detects_shared_passages(spark):
+    from pdf_parser_spark.functions import winnow_overlap_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, shared + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "totally different words everywhere nothing matches here at all ok fine"),
+        (3, shared + " one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): r.n_shared for r in winnow_overlap_pairs(df).collect()}
+    assert (1, 3) in got and got[(1, 3)] >= 2
+    assert all(2 not in k for k in got)
