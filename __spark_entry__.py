@@ -873,7 +873,11 @@ sel AS (
            AS full_window
   FROM kg
 ),
-fp AS (SELECT DISTINCT doc_id, fingerprint FROM sel WHERE full_window)
+fp0 AS (SELECT DISTINCT doc_id, fingerprint FROM sel WHERE full_window),
+rare AS (
+  SELECT fingerprint FROM fp0 GROUP BY fingerprint HAVING count(*) <= 100
+),
+fp AS (SELECT fp0.* FROM fp0 JOIN rare USING (fingerprint))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
 FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id

@@ -233,17 +233,32 @@ def winnow_overlap_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "xx",
+    max_df: int = 100,
 ) -> DataFrame:
     """Cross-document clone detection: pairs of documents sharing >=
     ``min_shared`` winnowing fingerprints — the MOSS-style span-overlap
     join the fingerprints exist for (near-verbatim passages survive
     edits far from the change).
 
-    Scale: the self-join key is the fingerprint; winnowing already
-    thins k-gram hashes ~1/window, and the shared-count aggregation is
-    map-side partial, so pair volume tracks actual clone mass, not
-    corpus size squared."""
+    Scale: the self-join key is the fingerprint. Winnowing thins k-gram
+    hashes ~1/window, but that bounds fingerprints PER DOCUMENT, not
+    documents per fingerprint — a boilerplate passage shared by m
+    documents is one hot key producing m*(m-1)/2 join rows. So, exactly
+    like the stop-shingle cap in ngram_jaccard_pairs, fingerprints with
+    document frequency > ``max_df`` are dropped by a semi-join BEFORE
+    the self-join: per-key work is bounded at max_df^2 and a viral
+    snippet can no longer kill a task at corpus scale. The drop is
+    conservative for clone DETECTION (a fingerprint in >max_df docs is
+    boilerplate, not a clone signal — MOSS applies the same cull); pairs
+    are scored only on their rare shared fingerprints."""
     fp = winnow_fingerprints(df, k, window, text_col, id_col, hash_fn)
+    rare = (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("df_count"))
+        .filter(F.col("df_count") <= max_df)
+        .select("fingerprint")
+    )
+    fp = fp.join(rare, "fingerprint", "left_semi")
     a = fp.alias("a")
     b = fp.alias("b")
     return (

@@ -106,6 +106,18 @@ def test_whole_stage_codegen_on_relational_path(spark):
     assert "*(" in plan
 
 
+def test_winnow_overlap_plan_has_df_cap_semijoin(spark):
+    """The hot-fingerprint cap must survive optimization: the plan
+    carries a LeftSemi join (fingerprints vs the df<=max_df relation)
+    upstream of the pair self-join — without it one viral snippet is an
+    m^2 hot key at corpus scale."""
+    from pdf_parser_spark.functions import winnow_overlap_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(winnow_overlap_pairs(docs, hash_fn="md5"))
+    assert "LeftSemi" in plan
+
+
 def test_embedding_near_dup_single_embed_pass(spark):
     """The round-1 plan computed the 64-aggregate embedding subplan once
     per self-join side; the fix materializes (embedding, nrm, bits) to

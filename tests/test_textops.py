@@ -384,3 +384,35 @@ def test_winnow_overlap_detects_shared_passages(spark):
     got = {(r.id_a, r.id_b): r.n_shared for r in winnow_overlap_pairs(df).collect()}
     assert (1, 3) in got and got[(1, 3)] >= 2
     assert all(2 not in k for k in got)
+
+
+def test_winnow_overlap_hot_fingerprint_cap(spark):
+    """A boilerplate passage shared by every document is a hot join key;
+    the df-cap semi-join must drop it BEFORE the self-join so pair counts
+    score only rare shared fingerprints (and a viral snippet can't
+    produce m^2 join rows at scale)."""
+    from pdf_parser_spark.functions import winnow_overlap_pairs
+
+    boiler = (
+        "subscribe to our newsletter for updates and follow us on social "
+        "media channels every single day thanks"
+    )
+    clone = "the secret recipe needs flour butter sugar eggs vanilla and patience to rise well"
+    rows = [(i, boiler + f" filler{i} x{i} y{i} z{i} w{i} v{i} u{i} t{i}") for i in range(8)]
+    rows += [
+        (100, clone + " alpha beta gamma delta epsilon zeta eta theta iota"),
+        (101, clone + " one two three four five six seven eight nine"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # cap below the boilerplate's df: its fingerprints are culled, so the
+    # 8 boilerplate docs yield no pairs; the 2-doc clone still scores
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_overlap_pairs(df, max_df=4).collect()
+    }
+    assert (100, 101) in got and got[(100, 101)] >= 2
+    assert all(a < 100 or b < 100 for (a, b) in got) is False or got.keys() == {(100, 101)}
+    assert not [k for k in got if k[0] < 8 and k[1] < 8]
+    # with the cap above every df, the boilerplate pairs come back
+    uncapped = winnow_overlap_pairs(df, max_df=1000).collect()
+    assert any(r.id_a < 8 and r.id_b < 8 for r in uncapped)
