@@ -30,6 +30,7 @@ def bench_queries(
     plan's true cost. Queries slower than ``repeat_cap_sec`` are not
     repeated (their signal already dwarfs the noise)."""
     import __spark_entry__ as entrymod
+    from pdf_parser_spark.functions.dedup import cleanup_embedding_scratch
 
     out: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
@@ -41,6 +42,9 @@ def bench_queries(
             times.append(dt)
             if dt > repeat_cap_sec:
                 break
+        # each embedding_near_dup repeat materialized a scratch table;
+        # the result is consumed (count above), so drop them now
+        cleanup_embedding_scratch()
         out[name] = round(min(times), 3)
     return out
 

@@ -75,7 +75,11 @@ def ngram_jaccard_pairs(
     is the shingle — hot shingles explode quadratically, so a production
     run FIRST drops stop-shingles (document frequency cap, here df<=100)
     — the same move as CCNet/Gopher dedup pipelines."""
-    sh = shingle(df, n, text_col, id_col)
+    # the tokenize+shingle pipeline feeds FOUR consumers (df-cap scan,
+    # both self-join sides, doc sizes) — left lazy it executes four
+    # times; one eager checkpoint computes it once (minhash_lsh makes
+    # the same move)
+    sh = shingle(df, n, text_col, id_col).localCheckpoint(eager=True)
     # stop-shingle cap: hot shingles contribute pairs quadratically
     rare = (
         sh.groupBy("shingle")
@@ -356,6 +360,110 @@ def hashed_bow_embedding(
     )
 
 
+_SCRATCH_DIRS: list[str] = []
+_SCRATCH_ATEXIT = False
+
+
+def cleanup_embedding_scratch() -> None:
+    """Remove the scratch parquet dirs embedding_near_dup materialized.
+    Call once every DataFrame returned from it has been fully consumed
+    (also registered atexit, so long-lived sessions don't leak a copy of
+    the embedding table into /tmp per invocation)."""
+    import shutil
+
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
+def _register_scratch(d: str) -> None:
+    global _SCRATCH_ATEXIT
+    if not _SCRATCH_ATEXIT:
+        import atexit
+
+        atexit.register(cleanup_embedding_scratch)
+        _SCRATCH_ATEXIT = True
+    _SCRATCH_DIRS.append(d)
+
+
+def _make_md5_sided_builder(
+    planes: list[list[float]],
+    dim: int,
+    n_planes: int,
+    id_col: str,
+    text_col: str,
+    memo_cap: int = 200_000,
+    memo: dict | None = None,
+):
+    """Factory for the Arrow-batched (tokenize -> md5 bucket counts ->
+    float32 normalize -> plane sign bits) kernel. The token->bucket memo
+    is cleared whenever it exceeds ``memo_cap`` (checked per batch) so an
+    adversarial-vocab shard can't bloat a long-lived executor worker;
+    ``memo`` is injectable so tests can observe the bound directly."""
+
+    def build_sided(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        P = np.array(planes, dtype=np.float64)
+        cols = (
+            ["doc_id"]
+            + [f"e_{i}" for i in range(dim)]
+            + ["nrm"]
+            + [f"bit_{i}" for i in range(n_planes)]
+        )
+        bucket_of: dict[str, int] = {} if memo is None else memo
+        for pdf in batches:
+            if len(bucket_of) > memo_cap:
+                bucket_of.clear()
+            ids, rows = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = str(text).strip(" ").split(" ")
+                counts = np.zeros(dim, dtype=np.float64)
+                seen = False
+                for w in toks:
+                    if not w:
+                        continue
+                    seen = True
+                    b = bucket_of.get(w)
+                    if b is None:
+                        b = (
+                            int(
+                                hashlib.md5(w.encode()).hexdigest()[:15],
+                                16,
+                            )
+                            % dim
+                        )
+                        bucket_of[w] = b
+                    counts[b] += 1
+                if not seen:
+                    continue  # no tokens -> no embedding row
+                ids.append(int(did))
+                rows.append(counts)
+            if not ids:
+                yield pd.DataFrame({c: [] for c in cols})
+                continue
+            C = np.vstack(rows)
+            norm = np.sqrt(np.add.accumulate(C * C, axis=1)[:, -1])
+            E32 = (C / np.maximum(norm, 1e-12)[:, None]).astype(np.float32)
+            Ed = E32.astype(np.float64)
+            acc = np.add.accumulate(
+                Ed[:, None, :] * P[None, :, :], axis=2
+            )[:, :, -1]
+            bits = (acc > 0).astype(np.int32)
+            nrm = np.sqrt(np.add.accumulate(Ed * Ed, axis=1)[:, -1])
+            out = pd.DataFrame({"doc_id": ids})
+            for i in range(dim):
+                out[f"e_{i}"] = E32[:, i]
+            out["nrm"] = nrm
+            for i in range(n_planes):
+                out[f"bit_{i}"] = bits[:, i]
+            yield out
+
+    return build_sided
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.9,
@@ -404,9 +512,18 @@ def embedding_near_dup(
     # sequential left-fold, counts are exact integers, same float32
     # cast, same md5-60bit bucket. The xxhash64 default keeps the
     # relational path (xxhash64 exists only JVM-side).
+    import os
+
     planes = random_hyperplanes(dim, n_planes)
     spark = df.sparkSession
-    out_dir = scratch_dir or tempfile.mkdtemp(prefix="pps_embnd_")
+    # one mkdtemp root per invocation holds EVERY intermediate (sided
+    # table + the xx path's embedding step), registered for cleanup at
+    # exit / via cleanup_embedding_scratch() — repeated invocations in a
+    # long-lived session must not accumulate embedding-table copies
+    root = scratch_dir or tempfile.mkdtemp(prefix="pps_embnd_")
+    if scratch_dir is None:
+        _register_scratch(root)
+    out_dir = os.path.join(root, "sided")
     sided_schema = ", ".join(
         ["doc_id long"]
         + [f"e_{i} float" for i in range(dim)]
@@ -415,68 +532,9 @@ def embedding_near_dup(
     )
 
     if hash_fn == "md5":
-
-        def build_sided(batches):
-            import hashlib
-
-            import numpy as np
-            import pandas as pd
-
-            P = np.array(planes, dtype=np.float64)
-            cols = (
-                ["doc_id"]
-                + [f"e_{i}" for i in range(dim)]
-                + ["nrm"]
-                + [f"bit_{i}" for i in range(n_planes)]
-            )
-            bucket_of: dict[str, int] = {}
-            for pdf in batches:
-                ids, rows = [], []
-                for did, text in zip(pdf[id_col], pdf[text_col]):
-                    toks = str(text).strip(" ").split(" ")
-                    counts = np.zeros(dim, dtype=np.float64)
-                    seen = False
-                    for w in toks:
-                        if not w:
-                            continue
-                        seen = True
-                        b = bucket_of.get(w)
-                        if b is None:
-                            b = (
-                                int(
-                                    hashlib.md5(w.encode()).hexdigest()[:15],
-                                    16,
-                                )
-                                % dim
-                            )
-                            bucket_of[w] = b
-                        counts[b] += 1
-                    if not seen:
-                        continue  # no tokens -> no embedding row
-                    ids.append(int(did))
-                    rows.append(counts)
-                if not ids:
-                    yield pd.DataFrame({c: [] for c in cols})
-                    continue
-                C = np.vstack(rows)
-                norm = np.sqrt(np.add.accumulate(C * C, axis=1)[:, -1])
-                E32 = (C / np.maximum(norm, 1e-12)[:, None]).astype(
-                    np.float32
-                )
-                Ed = E32.astype(np.float64)
-                acc = np.add.accumulate(
-                    Ed[:, None, :] * P[None, :, :], axis=2
-                )[:, :, -1]
-                bits = (acc > 0).astype(np.int32)
-                nrm = np.sqrt(np.add.accumulate(Ed * Ed, axis=1)[:, -1])
-                out = pd.DataFrame({"doc_id": ids})
-                for i in range(dim):
-                    out[f"e_{i}"] = E32[:, i]
-                out["nrm"] = nrm
-                for i in range(n_planes):
-                    out[f"bit_{i}"] = bits[:, i]
-                yield out
-
+        build_sided = _make_md5_sided_builder(
+            planes, dim, n_planes, id_col, text_col
+        )
         # the single parquet file of documents would give one input
         # split — repartition so every core gets a slice. Batch sizing
         # needs no per-op override: the session's byte-capped Arrow
@@ -501,8 +559,9 @@ def embedding_near_dup(
                 for i, c in enumerate(cnt)
             ],
         )
-        flat.write.mode("overwrite").parquet(out_dir + "_e")
-        emb = spark.read.parquet(out_dir + "_e")
+        emb_dir = os.path.join(root, "e")
+        flat.write.mode("overwrite").parquet(emb_dir)
+        emb = spark.read.parquet(emb_dir)
 
         def add_bits(batches):
             import numpy as np
@@ -573,6 +632,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    driver_solve_max_edges: int = 100_000,
 ) -> DataFrame:
     """Near-dup cluster resolution: connected components over a pair
     list (the step a real dedup pipeline runs after LSH — pairs alone
@@ -585,16 +645,36 @@ def dedup_clusters(
     cluster_id is the minimum doc_id reachable — the canonical keeper,
     matching exact_dedup's min-id survivor rule.
 
-    Scale: each round is one equi-join + one groupBy, both keyed on
-    ids — shuffle volume O(edges). Labels are localCheckpoint'ed per
-    round to truncate lineage (on a cluster with a checkpoint dir,
-    swap for ``checkpoint`` to survive executor loss)."""
+    Scale, two regimes gated by the EXACT edge count (observed during
+    the edge checkpoint, so the decision costs no extra job):
+
+    - ``<= driver_solve_max_edges`` (default 100k ~ a few MB): one
+      collect + driver union-find. After LSH, near-dup edges are a
+      sliver of the corpus, and O(diameter) scheduled rounds cost more
+      than the data — the same bounded-metadata trade as a broadcast
+      join.
+    - larger: iterative min-label propagation; each round is one
+      equi-join + one groupBy, shuffle volume O(edges), labels
+      localCheckpoint'ed per round to truncate lineage (swap for
+      ``checkpoint`` on a cluster to survive executor loss). Each
+      round is exactly ONE Spark job: the previous label rides through
+      the groupBy (max over the self branch), so the changed-count is
+      a column comparison observed DURING the checkpoint action
+      instead of a second per-round join + count job."""
+    import warnings
+
+    from pyspark.sql import Observation
+
     # checkpoint the pair list BEFORE mirroring: the union's two
-    # branches (and every round's join + convergence check) would each
-    # re-execute the possibly-expensive upstream pair pipeline otherwise
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).localCheckpoint(eager=True)
+    # branches (and every round's join) would each re-execute the
+    # possibly-expensive upstream pair pipeline otherwise; the edge
+    # count for the small-graph fast path is observed in the same job
+    obs0 = Observation("cc_edges")
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -602,7 +682,50 @@ def dedup_clusters(
     # list is small, single-partition rounds dodge the per-iteration
     # overhead of scheduling a full shuffle's worth of empty tasks (a
     # genuinely large graph keeps its parallelism)
-    n_parts = 1 if und.count() < 1_000_000 else und.rdd.getNumPartitions()
+    n_edges = obs0.get["n"]
+    node_t = edges.schema["src"].dataType
+    if n_edges <= driver_solve_max_edges:
+        # Near-dup edge lists after LSH are a sliver of the corpus; when
+        # the EXACT observed count fits comfortably on the driver
+        # (100k edges ~ a few MB), a union-find replaces O(diameter)
+        # distributed rounds (each a scheduled job) with one collect —
+        # the same bounded-metadata move as a broadcast join. Identical
+        # result: cluster_id = min reachable id.
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        cluster_min: dict = {}
+        for n in parent:
+            r = find(n)
+            m = cluster_min.get(r)
+            if m is None or n < m:
+                cluster_min[r] = n
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("doc_id", node_t, False),
+                StructField("cluster_id", node_t, False),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(
+            [(n, cluster_min[find(n)]) for n in parent], schema
+        )
+    n_parts = 1 if n_edges < 500_000 else und.rdd.getNumPartitions()
     if n_parts == 1:
         und = und.coalesce(1)
     labels = (
@@ -610,29 +733,55 @@ def dedup_clusters(
         .distinct()
         .select(F.col("src").alias("node"), F.col("src").alias("label"))
     )
-    for _ in range(max_iter):
-        nbr_min = und.join(labels, und.dst == labels.node).select(
-            und.src.alias("node"), "label"
+    changed = None
+    for i in range(max_iter):
+        # small-graph mode: broadcasting the label side turns the join
+        # into a BHJ with no exchange — the only shuffle left per round
+        # is the groupBy (AQE-coalesced to one partition). The scale
+        # path keeps the plain equi-join: labels are O(nodes) there.
+        lbl_side = F.broadcast(labels) if n_parts == 1 else labels
+        nbr_min = und.join(lbl_side, und.dst == labels.node).select(
+            und.src.alias("node"),
+            F.col("label").alias("cand"),
+            F.lit(None).cast(node_t).alias("old"),
         )
-        new_labels = (
-            labels.select("node", "label")
+        merged = (
+            labels.select(
+                "node",
+                F.col("label").alias("cand"),
+                F.col("label").alias("old"),
+            )
             .union(nbr_min)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("cand").alias("label"),
+                # every node has exactly one non-null old (its self row)
+                F.max("old").alias("old_label"),
+            )
+            .select(
+                "node",
+                "label",
+                (F.col("label") != F.col("old_label")).alias("chg"),
+            )
         )
         if n_parts == 1:
-            new_labels = new_labels.coalesce(1)
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+            merged = merged.coalesce(1)
+        obs = Observation(f"cc_round_{i}")
+        new_labels = merged.observe(
+            obs, F.sum(F.col("chg").cast("long")).alias("n_chg")
+        ).localCheckpoint(eager=True)
+        changed = obs.get["n_chg"] or 0
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    if changed:
+        warnings.warn(
+            f"dedup_clusters: max_iter={max_iter} rounds elapsed with "
+            f"{changed} labels still changing — a component with diameter "
+            f"> {max_iter} exists and its cluster_ids are NOT a fixpoint; "
+            "raise max_iter.",
+            stacklevel=2,
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -176,6 +176,68 @@ def test_embedding_near_dup(docs):
     assert not any({a, b} & {5, 6} for a, b in pairs)
 
 
+def test_embed_kernel_memo_bounded(spark):
+    """The executor-side token->bucket memo must not grow without bound
+    over a task's batches: an adversarial-vocab 100 TB shard would bloat
+    a long-lived python worker otherwise. Drive the kernel directly (no
+    Spark) with an injected memo and a high-vocab stream."""
+    import pandas as pd
+
+    from pdf_parser_spark.functions.dedup import _make_md5_sided_builder
+    from pdf_parser_spark.functions.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(16, 4)
+    cap = 50
+
+    def batches(tag):
+        for b in range(6):
+            yield pd.DataFrame(
+                {
+                    "doc_id": [b * 2, b * 2 + 1],
+                    "text": [
+                        " ".join(f"{tag}w{b}_{j}" for j in range(40)),
+                        " ".join(f"{tag}v{b}_{j}" for j in range(40)),
+                    ],
+                }
+            )
+
+    memo: dict = {}
+    capped = _make_md5_sided_builder(
+        planes, 16, 4, "doc_id", "text", memo_cap=cap, memo=memo
+    )
+    out_capped = pd.concat(list(capped(batches("a"))), ignore_index=True)
+    # bound: cap + one batch's fresh vocab (clear happens at batch entry)
+    assert len(memo) <= cap + 80, len(memo)
+    # identical output with an unbounded memo
+    uncapped = _make_md5_sided_builder(
+        planes, 16, 4, "doc_id", "text", memo_cap=10**9
+    )
+    out_full = pd.concat(list(uncapped(batches("a"))), ignore_index=True)
+    pd.testing.assert_frame_equal(out_capped, out_full)
+
+
+def test_embedding_scratch_cleanup(spark, docs):
+    """Every embedding_near_dup invocation materializes a scratch table;
+    cleanup_embedding_scratch must remove all of them once results are
+    consumed (ADVICE: bench repeats were leaking one copy per run)."""
+    import os
+
+    from pdf_parser_spark.functions import embedding_near_dup
+    from pdf_parser_spark.functions.dedup import (
+        _SCRATCH_DIRS,
+        cleanup_embedding_scratch,
+    )
+
+    for hash_fn in ("md5", "xx"):
+        embedding_near_dup(docs, threshold=0.9, dim=32, hash_fn=hash_fn).count()
+    live = list(_SCRATCH_DIRS)
+    assert len(live) >= 2
+    assert all(os.path.isdir(d) for d in live)
+    cleanup_embedding_scratch()
+    assert not _SCRATCH_DIRS
+    assert not any(os.path.exists(d) for d in live)
+
+
 def test_simhash_near_dup(spark):
     from pdf_parser_spark.functions import simhash_near_dup
 
@@ -255,15 +317,41 @@ def test_dedup_clusters_components(spark):
 
 def test_dedup_clusters_long_chain_converges(spark):
     """Label propagation must reach the fixpoint on a path graph whose
-    diameter forces multiple rounds."""
+    diameter forces multiple rounds (driver_solve_max_edges=0 forces the
+    distributed path)."""
     from pdf_parser_spark.functions import dedup_clusters
 
     n = 12
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
     )
-    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(pairs, driver_solve_max_edges=0).collect()
+    }
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_dedup_clusters_driver_path_matches_distributed(spark):
+    """The small-graph driver union-find and the distributed label
+    propagation are two implementations of one contract — identical
+    (doc_id, cluster_id) output on the same graph."""
+    from pdf_parser_spark.functions import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (10, 11), (20, 21), (21, 22)],
+        ["id_a", "id_b"],
+    )
+    drv = {
+        r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()
+    }
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(pairs, driver_solve_max_edges=0).collect()
+    }
+    assert drv == dist
+    assert drv == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
 
 
 def test_deterministic_sample_is_stable_and_proportional(spark):
@@ -369,6 +457,78 @@ def test_dedup_clusters_empty_pairs(spark):
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup_clusters(empty).count() == 0
+
+
+def test_dedup_clusters_one_job_per_round(spark):
+    """The convergence check must ride the checkpoint action (Observation
+    metric), not run as its own per-round job: total jobs for the run is
+    1 (edge checkpoint) + rounds (diameter+1 for the final no-change
+    confirmation), with NO separate changed-probe jobs. Drift here
+    silently doubles driver round-trips on a 50-round graph."""
+    from pdf_parser_spark.functions import dedup_clusters
+
+    sc = spark.sparkContext
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["id_a", "id_b"]
+    )  # path graph: min-label needs 6 propagation rounds + 1 confirm
+    sc.setJobGroup("cc_jobs", "dedup_clusters job count")
+    try:
+        got = {
+            r.doc_id: r.cluster_id
+            for r in dedup_clusters(
+                pairs, driver_solve_max_edges=0
+            ).collect()
+        }
+    finally:
+        sc.setJobGroup(None, None)
+    assert got == {i: 0 for i in range(7)}
+    n_actions = 1 + 7 + 1  # edge-checkpoint + rounds + final collect
+    jobs = sc.statusTracker().getJobIdsForGroup("cc_jobs")
+    # AQE splits one action into one job per materialized query stage;
+    # each round's plan has <=4 stages (join x2 sides, groupBy, final).
+    # The old two-actions-per-round shape adds a probe join + count on
+    # top — pin the ceiling so it can't come back.
+    assert len(jobs) <= 4 * n_actions, len(jobs)
+
+
+def test_dedup_clusters_small_graph_two_jobs(spark):
+    """The driver union-find path is 2 jobs total (edge checkpoint +
+    collect), independent of component diameter."""
+    from pdf_parser_spark.functions import dedup_clusters
+
+    sc = spark.sparkContext
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], ["id_a", "id_b"]
+    )
+    sc.setJobGroup("cc_drv", "driver union-find job count")
+    try:
+        out = dedup_clusters(pairs)
+        got = {r.doc_id: r.cluster_id for r in out.collect()}
+    finally:
+        sc.setJobGroup(None, None)
+    assert got == {i: 0 for i in range(21)}
+    jobs = sc.statusTracker().getJobIdsForGroup("cc_drv")
+    # edge checkpoint + union-find collect + result collect
+    assert len(jobs) <= 3, len(jobs)
+
+
+def test_dedup_clusters_warns_on_max_iter(spark):
+    """Exiting via max_iter with labels still moving must WARN — the
+    result is not a fixpoint and is indistinguishable from a converged
+    one otherwise."""
+    import warnings
+
+    from pdf_parser_spark.functions import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["id_a", "id_b"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup_clusters(
+            pairs, max_iter=2, driver_solve_max_edges=0
+        ).collect()
+    assert any("fixpoint" in str(x.message) for x in w)
 
 
 def test_winnow_overlap_detects_shared_passages(spark):
