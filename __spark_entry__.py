@@ -429,6 +429,34 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-5 (the bucketed ANN scale path) for the
+    first 10 vectors. Fully seeded (PCG64 hyperplanes) and fold-order
+    deterministic, so the oracle is a VALUES literal from an independent
+    pure-Python replica (tools/gen_values_oracles.py)."""
+    from pdf_parser_spark.functions import lsh_cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = lsh_cosine_topk(emb, q, k=5, n_planes=8, dim=64)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (inverted-list ANN scale path) for the
+    first 10 vectors: deterministic driver-side Lloyd quantizer
+    (bounded training sample), nprobe=3 probing, exact rerank. VALUES
+    oracle from the pure-Python replica (tools/gen_values_oracles.py)."""
+    from pdf_parser_spark.functions import ivf_cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = ivf_cosine_topk(
+        emb, q, k=5, nlist=16, nprobe=3, dim=64, max_train=512
+    )
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates. The contract variant hashes with
     md5 (hash_fn="md5") so DuckDB reproduces signatures, band buckets and
@@ -1331,6 +1359,78 @@ FROM inj
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL STREAMING dedup (applyInPandasWithState) run for real:
+    deterministic (url, doc_sha) rows derived from documents — every doc
+    once, plus a second crawl variant for doc_id%3==0 — written to one
+    parquet file, replayed through a file-source stream with an
+    availableNow trigger into a memory sink. One input file => one
+    micro-batch => the surviving url per sha is the global min, which is
+    what the DuckDB batch oracle computes. The checkpointed state path
+    itself (duplicates arriving in LATER batches) is pinned by
+    tests/test_streaming.py; the contract row proves the operator
+    end-to-end on the driver's gate."""
+    import tempfile
+    import uuid
+
+    from pdf_parser_spark.streaming import stream_dedup
+
+    d = _load(spark, sf_dir, "documents")
+    base = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/a/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        F.sha2(F.col("text"), 256).alias("doc_sha"),
+    )
+    dup = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/b/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        F.sha2(F.col("text"), 256).alias("doc_sha"),
+    )
+    root = tempfile.mkdtemp(prefix="pps_streamdd_")
+    from pdf_parser_spark.functions.dedup import _register_scratch
+
+    _register_scratch(root)  # tiny, but don't leak per invocation
+    in_dir, ckpt = f"{root}/in", f"{root}/ckpt"
+    base.union(dup).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    src = spark.readStream.schema("url string, doc_sha string").parquet(
+        in_dir
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_dedup(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("doc_sha", "url", "dup_index")
+
+
+# batch twin of the streaming survivor rule: first occurrence per sha
+# (min url in the single replay batch), dup_index 0
+Q_STREAM_DEDUP_ORACLE = """
+WITH feed AS (
+  SELECT 'https://' || source || '.example/a/' || CAST(doc_id AS VARCHAR)
+           AS url,
+         sha256(text) AS doc_sha
+  FROM documents
+  UNION ALL
+  SELECT 'https://' || source || '.example/b/' || CAST(doc_id AS VARCHAR),
+         sha256(text)
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_sha, min(url) AS url, CAST(0 AS INT) AS dup_index
+FROM feed GROUP BY doc_sha
+"""
+
+
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return (
@@ -1364,6 +1464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "quality_metrics": q_quality_metrics,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash64": q_simhash,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1386,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "redact_pii": q_redact_pii,
         "winnow_overlap": q_winnow_overlap,
+        "stream_dedup": q_stream_dedup,
     }
 
 
@@ -1401,6 +1504,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": Q_NGRAM_JACCARD_ORACLE,
         "quality_metrics": Q_QUALITY_ORACLE,
         "ann_cosine_topk": Q_ANN_ORACLE,
+        "lsh_cosine_topk": _VALUES.LSH_TOPK_ORACLE,
+        "ivf_cosine_topk": _VALUES.IVF_TOPK_ORACLE,
         "rollup_revenue": Q_ROLLUP_ORACLE,
         "semi_anti_customers": Q_SEMI_ANTI_ORACLE,
         "bpe_tokens": Q_BPE_ORACLE,
@@ -1425,4 +1530,5 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": Q_URL_DEDUP_ORACLE,
         "redact_pii": Q_REDACT_PII_ORACLE,
         "winnow_overlap": Q_WINNOW_OVERLAP_ORACLE,
+        "stream_dedup": Q_STREAM_DEDUP_ORACLE,
     }

@@ -97,17 +97,113 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[floa
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def lsh_bucket(vec_col, planes: list[list[float]]):
-    """SRP-LSH bucket id: sign bits of <v, plane_i> packed into a long."""
-    dim = len(planes[0])
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(
-            _dot(vec_col, arr, dim) > 0, F.lit(1).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
-    return bucket
+def _make_lsh_code_kernel(
+    planes_per_table: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+):
+    """Arrow-batched kernel: per row emit (id, vec, L2 norm, one packed
+    SRP code per table). The bucket math lives in numpy (one matmul per
+    table), NOT in unrolled expressions — n_tables * n_planes * dim
+    literal terms stall Catalyst canonicalization and fall past Janino's
+    method limit (the embedding_near_dup lesson). The oracle replica
+    reruns the same numpy ops for bit-identical codes."""
+
+    def code(batches):
+        import numpy as np
+        import pandas as pd
+
+        Ps = [np.array(p, dtype=np.float64) for p in planes_per_table]
+        n_tables = len(Ps)
+        weights = [
+            (1 << np.arange(P.shape[0], dtype=np.int64)) for P in Ps
+        ]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            out = pd.DataFrame({out_id: pdf[id_col].values})
+            out["vec"] = list(pdf[vec_col])
+            out["nrm"] = np.sqrt((V * V).sum(axis=1))
+            for t in range(n_tables):
+                bits = (V @ Ps[t].T) > 0
+                out[f"b_{t}"] = (bits * weights[t]).sum(axis=1)
+            yield out
+
+    return code
+
+
+def ivf_fit_centroids(
+    X, nlist: int, n_iter: int = 10, seed: int = 7
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over a float64 sample matrix
+    (rows in a FIXED caller-defined order): seeded init by index choice,
+    ``n_iter`` assign/mean rounds, empty clusters keep their previous
+    centroid. Pure numpy, Spark-free — the oracle generator re-runs it
+    on the same sample to reproduce the coarse quantizer bit-for-bit
+    (the same shared-derivation pattern as ``random_hyperplanes``)."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    n = X.shape[0]
+    rng = np.random.Generator(np.random.PCG64([seed, n, nlist]))
+    idx = rng.choice(n, size=min(nlist, n), replace=False)
+    C = X[np.sort(idx)].copy()
+    if C.shape[0] < nlist:  # degenerate tiny corpus: pad by repetition
+        C = np.vstack([C] * (nlist // C.shape[0] + 1))[:nlist]
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties -> lowest list id (argmin)
+        for li in range(nlist):
+            members = X[assign == li]
+            if len(members):
+                C[li] = members.mean(axis=0)
+    return [[float(v) for v in row] for row in C]
+
+
+def _make_ivf_assign_kernel(
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    n: int,
+):
+    """Arrow-batched kernel: per row emit (id, vec, L2 norm, the ``n``
+    nearest list ids by squared L2 distance, ties to the LOWER list id).
+    One ``V @ C.T`` matmul per batch replaces nlist * dim unrolled
+    literal terms per row — the expression form stalls Catalyst
+    canonicalization and overflows Janino (the embedding_near_dup
+    lesson). Distance grouping mirrors the oracle replica:
+    ``(v.v - 2 v.c) + c.c``; argsort is stable so equal distances pick
+    the lower list id, same as sorting (d2, list_id) structs."""
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(centroids, dtype=np.float64)
+        c_sq = np.array(
+            [sum(x * x for x in c) for c in centroids], dtype=np.float64
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            dvv = (V * V).sum(axis=1)
+            d2 = (dvv[:, None] - 2.0 * (V @ C.T)) + c_sq[None, :]
+            near = np.argsort(d2, axis=1, kind="stable")[:, :n]
+            out = pd.DataFrame({out_id: pdf[id_col].values})
+            out["vec"] = list(pdf[vec_col])
+            out["nrm"] = np.sqrt(dvv)
+            out["lists"] = [row.astype("int32").tolist() for row in near]
+            yield out
+
+    return assign
 
 
 def ivf_cosine_topk(
@@ -120,53 +216,54 @@ def ivf_cosine_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 7,
+    max_train: int = 4096,
 ) -> DataFrame:
-    """IVF-style approximate top-k: a seeded KMeans coarse quantizer
-    partitions the corpus into ``nlist`` inverted lists; each query
-    probes its ``nprobe`` nearest centroids and reranks exactly within
-    those lists.
+    """IVF-style approximate top-k: a coarse quantizer partitions the
+    corpus into ``nlist`` inverted lists; each query probes its
+    ``nprobe`` nearest centroids and reranks exactly within those lists.
 
-    Scale: the corpus is scanned once to assign lists (a narrow pass);
-    the candidate join is an equi-join on list id touching ~nprobe/nlist
-    of the corpus per query. Centroids are driver-side literals —
-    nlist*dim floats — broadcast implicitly in the plan. The KMeans fit
-    is MLlib (seeded, deterministic given the corpus)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    The quantizer is deterministic Lloyd's k-means fit DRIVER-SIDE on a
+    bounded training sample (the first ``max_train`` ids — one
+    TakeOrdered pass; FAISS trains its coarse quantizer on a sample the
+    same way), so the whole operator is reproducible by a pure-Python
+    replica — the contract oracle depends on that.
+
+    Scale: the corpus is scanned once to assign lists (a narrow
+    Arrow-kernel pass, one matmul per batch); the candidate join is an
+    equi-join on list id touching ~nprobe/nlist of the corpus per query.
+    Centroids ship inside the kernel closure — nlist*dim floats; the
+    collected training sample is bounded at max_train*dim floats
+    regardless of corpus size."""
+    import numpy as np
 
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
-    train = corpus.select(
-        array_to_vector(F.col("cvec").cast("array<double>")).alias("features")
+    sample = (
+        corpus.orderBy("neighbor_id").limit(max_train).collect()
     )
-    km = KMeans(k=nlist, seed=seed, maxIter=10).fit(train)
-    centroids = [list(map(float, c)) for c in km.clusterCenters()]
+    train = np.array(
+        [[float(v) for v in r.cvec] for r in sample], dtype=np.float64
+    )
+    centroids = ivf_fit_centroids(train, nlist, seed=seed)
 
-    def nearest_lists(vec, n):
-        """Ranked list ids by squared L2 distance to each centroid —
-        expression-only (no model UDF in the hot path)."""
-        dists = []
-        for li, c in enumerate(centroids):
-            arr = F.array(*[F.lit(x) for x in c])
-            d2 = _dot(vec, vec, dim) - 2 * _dot(vec, arr, dim) + sum(
-                x * x for x in c
-            )
-            dists.append(F.struct(d2.alias("d2"), F.lit(li).alias("list_id")))
-        ranked = F.array_sort(F.array(*dists))
-        return F.slice(ranked, 1, n)
-
-    assigned = corpus.withColumn(
-        "list_id", nearest_lists(F.col("cvec"), 1)[0]["list_id"]
-    ).withColumn("cn", _norm(F.col("cvec"), dim))
-    q = query_df.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        _norm(F.col(vec_col), dim).alias("qn"),
-    ).withColumn(
-        "probe", F.explode(F.transform(
-            nearest_lists(F.col("qvec"), nprobe), lambda s: s["list_id"]
-        ))
+    assigned = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _make_ivf_assign_kernel(centroids, id_col, vec_col, "nid", 1),
+        schema="nid long, vec array<float>, nrm double, lists array<int>",
+    ).select(
+        F.col("nid").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cn"),
+        F.element_at("lists", 1).alias("list_id"),
+    )
+    q = query_df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _make_ivf_assign_kernel(centroids, id_col, vec_col, "qid", nprobe),
+        schema="qid long, vec array<float>, nrm double, lists array<int>",
+    ).select(
+        F.col("qid").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qn"),
+        F.explode("lists").alias("probe"),
     )
     scored = (
         assigned.join(
@@ -200,35 +297,97 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    n_tables: int = 4,
+    hamming: int = 1,
 ) -> DataFrame:
-    """Approximate cosine top-k: signed-random-projection buckets, then
-    exact rerank WITHIN the query's bucket. Scale: the candidate join is
-    an equi-join on bucket id (shuffle-hash/broadcast, Catalyst picks),
-    touching ~corpus/2^n_planes rows per query instead of the corpus."""
-    planes = random_hyperplanes(dim, n_planes)
-    c = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        _norm(F.col(vec_col), dim).alias("cn"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    """Approximate cosine top-k: signed-random-projection buckets with
+    OR-amplification (``n_tables`` independent plane sets) and query-side
+    multi-probe (every bucket at Hamming distance <= ``hamming``, 0 or 1),
+    then exact rerank over the deduplicated candidates. A single SRP
+    table has vanishing recall once true neighbors sit at moderate
+    angles (cos ~0.3 -> per-plane collision ~0.6 -> 0.6^8 per bucket);
+    L tables x (n_planes+1) probes trade a ~L*(n+1)/2^n candidate
+    fraction for usable recall — the standard E2LSH knobs.
+
+    Scale: the candidate join is an equi-join on (table, bucket) with
+    the (small) query side broadcast; the corpus is scanned once and
+    exploded n_tables x, never all-pairs. Candidate dedup shuffles only
+    (query, neighbor, vectors) rows that actually collided."""
+    if hamming not in (0, 1):
+        raise ValueError("multi-probe supports hamming 0 or 1")
+    planes_per_table = [
+        random_hyperplanes(dim, n_planes, seed=7 + t)
+        for t in range(n_tables)
+    ]
+    code_schema = (
+        "{id} long, vec array<float>, nrm double, "
+        + ", ".join(f"b_{t} long" for t in range(n_tables))
     )
-    q = query_df.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        _norm(F.col(vec_col), dim).alias("qn"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    c0 = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _make_lsh_code_kernel(planes_per_table, id_col, vec_col, "nid"),
+        schema=code_schema.format(id="nid"),
     )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    c = c0.select(
+        F.col("nid").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cn"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        F.col(f"b_{t}").alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        "neighbor_id", "cvec", "cn",
+        F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+    q0 = query_df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _make_lsh_code_kernel(planes_per_table, id_col, vec_col, "qid"),
+        schema=code_schema.format(id="qid"),
+    )
+    probe_structs = []
+    for t in range(n_tables):
+        b = F.col(f"b_{t}")
+        probes = [b]
+        if hamming == 1:
+            probes += [
+                b.bitwiseXOR(F.lit(1 << j).cast("long"))
+                for j in range(n_planes)
+            ]
+        probe_structs += [
+            F.struct(F.lit(t).alias("table"), p.alias("bucket"))
+            for p in probes
+        ]
+    q = q0.select(
+        F.col("qid").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qn"),
+        F.explode(F.array(*probe_structs)).alias("tb"),
+    ).select(
+        "query_id", "qvec", "qn",
+        F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+    cand = (
+        c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                _dot(F.col("qvec"), F.col("cvec"), dim)
-                / (F.col("qn") * F.col("cn"))
-            ).alias("cosine"),
-        )
+        # a pair colliding in several tables/probes carries identical
+        # vector payloads in every copy — any survivor is correct
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot(F.col("qvec"), F.col("cvec"), dim)
+            / (F.col("qn") * F.col("cn"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

@@ -18,6 +18,19 @@ Parsing is stdlib-only (the WARC/1.0 framing is line headers +
 Content-Length payload + CRLF CRLF), and happens entirely on executors:
 the driver only lists file names; each InputPartition carries a file
 slice, so a crawl dump of thousands of WARCs shards across the cluster.
+
+Corrupt records do NOT kill the job (the same never-fail contract as
+the document extraction path): on structural corruption the reader
+emits one bad-record row — url ``warcerr://<file>@<recno>``, the parse
+error in ``text`` — then RESYNCS by scanning to the next ``WARC/``
+version line and keeps going, so one mangled record costs itself, not
+its file's partition.
+
+REQUIREMENT: ``path`` must be a directory on a filesystem visible to
+every executor under the same path (local dir in local mode, NFS/
+FUSE-mounted object store on a cluster) — the driver lists it with
+os.listdir and executors open plain paths. Remote schemes (s3://,
+hdfs://...) are rejected up front; mount them or copy down first.
 """
 
 from __future__ import annotations
@@ -33,20 +46,44 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def iter_warc_records(stream: io.BufferedIOBase):
-    """Yield (headers: dict[str, str], payload: bytes) per WARC record.
-    Tolerates leading blank lines between records; stops cleanly at EOF.
-    Raises ValueError on structural corruption (bad version line or
-    missing Content-Length) — callers decide whether that kills the file
-    or the job."""
+def _scan_to_version(stream: io.BufferedIOBase) -> bytes:
+    """Read lines until the next ``WARC/`` version line (returned) or
+    EOF (empty bytes) — the resync point after a corrupt record."""
     while True:
         line = stream.readline()
+        if not line or line.startswith(b"WARC/"):
+            return line
+
+
+def iter_warc_records(stream: io.BufferedIOBase, resync: bool = False):
+    """Yield (headers: dict[str, str], payload: bytes) per WARC record.
+    Tolerates leading blank lines between records; stops cleanly at EOF.
+
+    On structural corruption (bad version line, missing Content-Length,
+    truncated payload): with ``resync=False`` raise ValueError — the
+    caller decides whether that kills the file or the job; with
+    ``resync=True`` yield one error marker ``({"_error": msg}, b"")``,
+    scan forward to the next ``WARC/`` version line, and keep parsing —
+    one mangled record costs itself, not the rest of the file."""
+    pending: bytes | None = None
+
+    def corrupt(msg: str):
+        nonlocal pending
+        if not resync:
+            raise ValueError(msg)
+        pending = _scan_to_version(stream)
+        return {"_error": msg}, b""
+
+    while True:
+        line = pending if pending is not None else stream.readline()
+        pending = None
         if not line:
             return
         if line in (b"\r\n", b"\n"):
             continue
         if not line.startswith(b"WARC/"):
-            raise ValueError(f"bad WARC version line: {line[:40]!r}")
+            yield corrupt(f"bad WARC version line: {line[:40]!r}")
+            continue
         headers: dict[str, str] = {}
         while True:
             h = stream.readline()
@@ -59,11 +96,13 @@ def iter_warc_records(stream: io.BufferedIOBase):
                 )
         try:
             n = int(headers["content-length"])
-        except (KeyError, ValueError) as e:
-            raise ValueError("WARC record missing Content-Length") from e
+        except (KeyError, ValueError):
+            yield corrupt("WARC record missing Content-Length")
+            continue
         payload = stream.read(n)
         if len(payload) != n:
-            raise ValueError("truncated WARC payload")
+            yield corrupt("truncated WARC payload")
+            continue
         yield headers, payload
 
 
@@ -99,6 +138,14 @@ class WarcReader(DataSourceReader):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("warc requires .option('path', <dir>)")
+        if self.root.startswith("file://"):
+            self.root = self.root[len("file://"):]
+        if "://" in self.root:
+            raise ValueError(
+                "warc source reads plain executor-visible paths only; "
+                f"remote scheme in {self.root!r} — mount it (NFS/FUSE) "
+                "or copy down first"
+            )
         self.files_per_partition = int(options.get("files_per_partition", "4"))
 
     def partitions(self):
@@ -119,7 +166,21 @@ class WarcReader(DataSourceReader):
             path = os.path.join(partition.root, name)
             opener = gzip.open if name.endswith(".gz") else open
             with opener(path, "rb") as f:
-                for headers, payload in iter_warc_records(f):
+                for recno, (headers, payload) in enumerate(
+                    iter_warc_records(f, resync=True)
+                ):
+                    if "_error" in headers:
+                        # never-fail contract (same as the document
+                        # extraction path): corruption becomes a row,
+                        # the reader resyncs and the file keeps going
+                        yield (
+                            f"warcerr://{name}@{recno}",
+                            None,
+                            None,
+                            headers["_error"],
+                            None,
+                        )
+                        continue
                     if headers.get("warc-type") != "response":
                         continue
                     yield (

@@ -119,6 +119,43 @@ def test_warc_concatenated_gzip_members(spark, tmp_path):
     assert urls == ["https://a.example/x", "https://b.example/y"]
 
 
+def test_warc_corrupt_record_resyncs(spark, tmp_path):
+    """A mangled record mid-file becomes a bad-record row (never-fail
+    contract) and the reader resyncs: every record after it survives."""
+    recs = _records()
+    good_before = _raw_record(recs[2])
+    garbage = b"XXXX not a warc header\r\njunk: yes\r\n\r\nblob\r\n\r\n"
+    good_after = _raw_record(recs[3])
+    (tmp_path / "c.warc").write_bytes(good_before + garbage + good_after)
+
+    spark.dataSource.register(WarcDataSource)
+    df = spark.read.format("warc").option("path", str(tmp_path)).load()
+    rows = sorted(df.collect(), key=lambda r: r.url)
+    assert [r.url for r in rows] == [
+        "https://a.example/x",
+        "https://b.example/y",
+        "warcerr://c.warc@1",
+    ]
+    err = rows[2]
+    assert "bad WARC version line" in err.text
+    assert err.html is None and err.warc_ts is None
+    # the record AFTER the corruption parsed fine
+    assert b"hello B" in bytes(rows[1].html)
+
+
+def test_warc_rejects_remote_scheme(tmp_path):
+    from pdf_parser_spark.sources.warc import WarcReader
+
+    try:
+        WarcReader({"path": "s3://bucket/crawl"})
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "remote scheme" in str(e)
+    # file:// is local: accepted and stripped
+    r = WarcReader({"path": f"file://{tmp_path}"})
+    assert r.root == str(tmp_path)
+
+
 def _raw_record(rec):
     """Serialize one record the way write_warc does, standalone."""
     warc_type, uri, date_iso, payload = rec

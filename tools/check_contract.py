@@ -27,7 +27,10 @@ def canon(v):
     if isinstance(v, bytes):
         return f"bytes:{v.hex()}"
     if isinstance(v, str):
-        return v
+        # prefixed like every other type so the canonical space is
+        # injective — a literal string 'int:5' must not collide with
+        # int 5 from the other engine
+        return f"str:{v}"
     return f"{type(v).__name__}:{v}"
 
 

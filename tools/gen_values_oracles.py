@@ -130,6 +130,142 @@ def gen_embedding_pairs(
     return out
 
 
+def _dot_lf(a: list, b: list, dim: int) -> float:
+    """Python twin of similarity._dot's unrolled left fold: products in
+    element order, sequential double adds — the same IEEE op sequence
+    whole-stage codegen emits."""
+    acc = a[0] * b[0]
+    for j in range(1, dim):
+        acc = acc + a[j] * b[j]
+    return acc
+
+
+def _read_embeddings(sf_dir: str) -> tuple[list[int], list[list[float]]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_pylist()
+    # float32 -> python float is exact widening, matching Spark's
+    # element_at(...).cast('double')
+    vecs = [[float(v) for v in e] for e in t["embedding"].to_pylist()]
+    return ids, vecs
+
+
+def _rank_topk(
+    scored: dict[int, list[tuple[float, int]]], k: int
+) -> list[tuple]:
+    """row_number() over (ORDER BY cosine DESC, neighbor_id ASC), <=k."""
+    out = []
+    for qid in sorted(scored):
+        ranked = sorted(scored[qid], key=lambda t: (-t[0], t[1]))
+        for rank, (_, nid) in enumerate(ranked[:k], start=1):
+            out.append((qid, nid, rank))
+    return out
+
+
+def gen_lsh_topk_rows(
+    sf_dir: str,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 4,
+) -> list[tuple]:
+    """Replica of similarity.lsh_cosine_topk (multi-table, Hamming<=1
+    multi-probe) for queries vec_id < 10: a pair is a candidate iff some
+    table's codes differ in at most one plane; exact cosine rerank."""
+    import numpy as np
+
+    ids, vecs = _read_embeddings(sf_dir)
+    all_planes = []
+    for t in range(n_tables):
+        rng = np.random.Generator(np.random.PCG64([7 + t, dim, n_planes]))
+        all_planes.append(
+            [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
+        )
+
+    def codes(v: list) -> list[int]:
+        out = []
+        for planes in all_planes:
+            b = 0
+            for i, p in enumerate(planes):
+                if _dot_lf(v, p, dim) > 0:
+                    b |= 1 << i
+            out.append(b)
+        return out
+
+    side = {
+        vid: (v, codes(v), math.sqrt(_dot_lf(v, v, dim)))
+        for vid, v in zip(ids, vecs)
+    }
+    scored: dict[int, list[tuple[float, int]]] = {}
+    for qid in sorted(i for i in ids if i < 10):
+        qv, qc, qn = side[qid]
+        cands = []
+        for nid, (cv, cc, cn) in side.items():
+            if nid == qid:
+                continue
+            if not any((a ^ b).bit_count() <= 1 for a, b in zip(qc, cc)):
+                continue
+            cands.append((_dot_lf(qv, cv, dim) / (qn * cn), nid))
+        if cands:
+            scored[qid] = cands
+    return _rank_topk(scored, k)
+
+
+def gen_ivf_topk_rows(
+    sf_dir: str,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 3,
+    dim: int = 64,
+    seed: int = 7,
+    max_train: int = 512,
+) -> list[tuple]:
+    """Replica of similarity.ivf_cosine_topk for queries vec_id < 10.
+    The coarse-quantizer fit is the SAME deterministic pure-numpy
+    function the operator runs driver-side (shared derivation, like
+    random_hyperplanes); assignment, probing and rerank are replicated
+    independently with the engine's exact fold order."""
+    import numpy as np
+
+    from pdf_parser_spark.functions.similarity import ivf_fit_centroids
+
+    ids, vecs = _read_embeddings(sf_dir)
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    train = np.array(
+        [vecs[i] for i in order[:max_train]], dtype=np.float64
+    )
+    centroids = ivf_fit_centroids(train, nlist, seed=seed)
+    c_sq = [sum(x * x for x in c) for c in centroids]  # plan-time literal
+
+    def nearest(v: list, n: int) -> list[int]:
+        dvv = _dot_lf(v, v, dim)
+        ds = []
+        for li, c in enumerate(centroids):
+            ds.append(((dvv - 2 * _dot_lf(v, c, dim)) + c_sq[li], li))
+        ds.sort()  # (d2, list_id) — array_sort's struct order
+        return [li for _, li in ds[:n]]
+
+    side = {
+        vid: (v, nearest(v, 1)[0], math.sqrt(_dot_lf(v, v, dim)))
+        for vid, v in zip(ids, vecs)
+    }
+    scored: dict[int, list[tuple[float, int]]] = {}
+    for qid in sorted(i for i in ids if i < 10):
+        qv, _, qn = side[qid]
+        probes = set(nearest(qv, nprobe))
+        cands = []
+        for nid, (cv, clist, cn) in side.items():
+            if nid == qid or clist not in probes:
+                continue
+            cands.append((_dot_lf(qv, cv, dim) / (qn * cn), nid))
+        if cands:
+            scored[qid] = cands
+    return _rank_topk(scored, k)
+
+
 def gen_multimodal_rows(n: int = 24) -> list[tuple]:
     """Expected features for build_demo_media, computed with INDEPENDENT
     stdlib integer arithmetic from the SOURCE arrays (uint8/int16 sums
@@ -244,6 +380,20 @@ def build() -> str:
             "CAST(NULL AS DOUBLE) AS cosine WHERE 1 = 0"
         )
 
+    def topk_sql(rows: list[tuple], label: str) -> str:
+        vals = ",\n".join(f"  ({q}, {n}, {r})" for (q, n, r) in rows)
+        return (
+            f"-- VALUES-ORACLE(sf0.01): pure-python {label} replica, "
+            "tools/gen_values_oracles.py\n"
+            "SELECT CAST(query_id AS BIGINT) AS query_id,\n"
+            "       CAST(neighbor_id AS BIGINT) AS neighbor_id,\n"
+            "       CAST(rank AS INT) AS rank\n"
+            f"FROM (VALUES\n{vals}\n) AS t(query_id, neighbor_id, rank)"
+        )
+
+    lsh_sql = topk_sql(gen_lsh_topk_rows(SF_DIR), "SRP-LSH top-k")
+    ivf_sql = topk_sql(gen_ivf_topk_rows(SF_DIR), "IVF top-k")
+
     mm_rows = gen_multimodal_rows()
     def _cell(v):
         if v is None:
@@ -279,7 +429,9 @@ def build() -> str:
         '(see the generator for the derivation).\n"""\n\n'
         f"PDF_EXTRACT_ORACLE = {pdf_sql!r}\n\n"
         f"EMBEDDING_NEAR_DUP_ORACLE = {emb_sql!r}\n\n"
-        f"MULTIMODAL_ORACLE = {mm_sql!r}\n"
+        f"MULTIMODAL_ORACLE = {mm_sql!r}\n\n"
+        f"LSH_TOPK_ORACLE = {lsh_sql!r}\n\n"
+        f"IVF_TOPK_ORACLE = {ivf_sql!r}\n"
     )
     return body
 
