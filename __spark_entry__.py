@@ -496,12 +496,17 @@ def _duck_h64(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
-def _mk_minhash_oracle(num_perm=16, bands=4, n=3, threshold=0.2) -> str:
-    """DuckDB replica of minhash_lsh_candidates(hash_fn='md5'):
-    identical shingles, Kirsch-Mitzenmacher signatures (one md5 per
-    shingle, perm_i = h1 + i*h2 with 52/40-bit slices), band hashes,
-    candidate buckets and exact-Jaccard verify
-    (functions/dedup.py:minhash_lsh_candidates)."""
+def _mk_minhash_ctes(
+    num_perm=16, bands=4, n=3, threshold=0.2, src="documents", text="text"
+) -> str:
+    """DuckDB replica of minhash_lsh_candidates(hash_fn='md5') as a CTE
+    chain ending in ``mh_pairs`` — identical shingles,
+    Kirsch-Mitzenmacher signatures (one md5 per shingle, perm_i =
+    h1 + i*h2 with 52/40-bit slices), band hashes, candidate buckets
+    and exact-Jaccard verify (functions/dedup.py:
+    minhash_lsh_candidates). ``src``/``text`` parameterize the input so
+    the same generation runs standalone (documents.text) and inside the
+    composed curation oracle (kept.clean_text)."""
     rpb = num_perm // bands
     mins = ",\n         ".join(
         f"min(h1 + {i} * h2) AS mh_{i}" for i in range(num_perm)
@@ -517,9 +522,8 @@ def _mk_minhash_oracle(num_perm=16, bands=4, n=3, threshold=0.2) -> str:
         )
         for b in range(bands)
     )
-    return f"""
-WITH toks AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+    return f"""toks AS (
+  SELECT doc_id, string_split(trim({text}), ' ') AS ws FROM {src}
 ),
 sh AS (
   SELECT DISTINCT doc_id, array_to_string(ws[i:i+{n - 1}], ' ') AS shingle
@@ -553,14 +557,23 @@ inter AS (
   JOIN sh sa ON sa.doc_id = c.id_a
   JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
   GROUP BY c.id_a, c.id_b
-)
-SELECT id_a, id_b,
-       round(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
-FROM inter
-JOIN sizes za ON za.doc_id = id_a
-JOIN sizes zb ON zb.doc_id = id_b
-WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= {threshold}
-"""
+),
+mh_pairs AS (
+  SELECT id_a, id_b,
+         round(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes za ON za.doc_id = id_a
+  JOIN sizes zb ON zb.doc_id = id_b
+  WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= {threshold}
+)"""
+
+
+def _mk_minhash_oracle(**kw) -> str:
+    return (
+        "WITH "
+        + _mk_minhash_ctes(**kw)
+        + "\nSELECT id_a, id_b, jaccard FROM mh_pairs\n"
+    )
 
 
 def _mk_simhash_cte() -> str:
@@ -1151,20 +1164,23 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_filter(_load(spark, sf_dir, "documents"))
 
 
-Q_GOPHER_ORACLE = """
-WITH m AS (
+def _mk_gopher_ctes(src="documents", text="text") -> str:
+    """DuckDB replica of gopher_quality_filter as a CTE chain ending in
+    ``gq_r`` (doc_id, reasons) — shared by the standalone oracle and the
+    composed curation oracle."""
+    return f"""gq_m AS (
   SELECT doc_id,
-         len(string_split(trim(text), ' ')) AS n_tok,
-         length(text) AS n_chars,
-         length(text) * 1.0
-           / greatest(len(string_split(trim(text), ' ')), 1) AS cpt,
-         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
-           / greatest(length(text), 1) AS alpha,
-         len(list_distinct(string_split(trim(text), ' '))) * 1.0
-           / greatest(len(string_split(trim(text), ' ')), 1) AS dr
-  FROM documents
+         len(string_split(trim({text}), ' ')) AS n_tok,
+         length({text}) AS n_chars,
+         length({text}) * 1.0
+           / greatest(len(string_split(trim({text}), ' ')), 1) AS cpt,
+         length(regexp_replace({text}, '[^a-zA-Z]', '', 'g')) * 1.0
+           / greatest(length({text}), 1) AS alpha,
+         len(list_distinct(string_split(trim({text}), ' '))) * 1.0
+           / greatest(len(string_split(trim({text}), ' ')), 1) AS dr
+  FROM {src}
 ),
-r AS (
+gq_r AS (
   SELECT doc_id,
          concat_ws(',',
            CASE WHEN n_tok < 10 THEN 'too_few_tokens' END,
@@ -1174,9 +1190,84 @@ r AS (
            CASE WHEN alpha < 0.4 THEN 'low_alpha' END,
            CASE WHEN dr < 0.2 THEN 'repetitive' END
          ) AS reasons
-  FROM m
+  FROM gq_m
+)"""
+
+
+Q_GOPHER_ORACLE = (
+    "WITH "
+    + _mk_gopher_ctes()
+    + "\nSELECT doc_id, reasons = '' AS keep, reasons FROM gq_r\n"
 )
-SELECT doc_id, reasons = '' AS keep, reasons FROM r
+
+
+# DuckDB twin of functions/quality.py:redact_pii's replacement chain
+# (email -> ip -> phone, all-occurrences, lookaround-free patterns)
+_PII_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace({t},\n"
+    r"      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',"
+    " '<EMAIL>', 'g'),\n"
+    r"      '\b[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\b',"
+    " '<IP>', 'g'),\n"
+    r"      '\+?[0-9][0-9-]{{7,13}}[0-9]', '<PHONE>', 'g')"
+)
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline (jobs/curate.py's engine,
+    functions/curation.py): gopher filter -> PII redaction -> MinHash
+    LSH near-dup -> connected-component dedup -> stratified sample, as
+    ONE lazily-composed plan. The oracle recomputes the ENTIRE
+    composition in DuckDB — gopher CTEs, the md5 minhash chain over the
+    REDACTED text, a recursive-CTE connected components, and the md5
+    sample bucket — so every stage boundary is cross-checked, not just
+    each stage in isolation."""
+    from pdf_parser_spark.functions import curate
+
+    res = curate(
+        _load(spark, sf_dir, "documents"),
+        rates={"en": 50, "fr": 25, "de": 10},
+        default_pct=5,
+        threshold=0.2,
+        hash_fn="md5",
+    )
+    return res.curated.select(
+        "doc_id", "lang", F.length("clean_text").alias("n_chars_clean")
+    )
+
+
+Q_CURATION_ORACLE = f"""
+WITH RECURSIVE {_mk_gopher_ctes()},
+kept AS (
+  SELECT d.doc_id, d.lang,
+         {_PII_SQL.format(t='d.text')} AS clean_text
+  FROM documents d JOIN gq_r ON d.doc_id = gq_r.doc_id
+  WHERE gq_r.reasons = ''
+),
+{_mk_minhash_ctes(src="kept", text="clean_text")},
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION
+  SELECT id_b, id_a FROM mh_pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT und.src, reach.lab FROM und JOIN reach ON und.dst = reach.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+),
+dupes AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+surv AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
+)
+SELECT doc_id, lang, length(clean_text) AS n_chars_clean
+FROM surv
+WHERE CAST('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 15)
+           AS BIGINT) % 100
+      < CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 25
+                  WHEN 'de' THEN 10 ELSE 5 END
 """
 
 
@@ -1489,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "winnow_overlap": q_winnow_overlap,
         "stream_dedup": q_stream_dedup,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -1531,4 +1623,5 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": Q_REDACT_PII_ORACLE,
         "winnow_overlap": Q_WINNOW_OVERLAP_ORACLE,
         "stream_dedup": Q_STREAM_DEDUP_ORACLE,
+        "curation_pipeline": Q_CURATION_ORACLE,
     }

@@ -36,6 +36,10 @@ from .quality import (  # noqa: F401
     winnow_fingerprints,
     winnow_overlap_pairs,
 )
+from .curation import (  # noqa: F401
+    CurationResult,
+    curate,
+)
 from .sampling import (  # noqa: F401
     deterministic_sample,
     stratified_sample,

@@ -1,0 +1,160 @@
+"""End-to-end training-data curation: the composition a 100 TB web-text
+pipeline actually runs, as ONE operator —
+
+    [url_dedup] -> gopher_quality_filter -> redact_pii
+        -> minhash_lsh_candidates -> dedup_clusters -> stratified_sample
+
+Each stage is the already-contract-checked component function; this
+module only wires them (no forked logic — the sharing IS the
+correctness argument, same as kernels/ vs oracle.py).
+
+Scale notes:
+- Stage boundaries can MATERIALIZE to parquet (``materialize_dir``).
+  That is deliberate, not a convenience: it firewalls Catalyst's
+  projection collapse from re-inlining the giant per-stage expression
+  trees into one plan (the Janino 64KB / canonicalization-OOM failure
+  mode), truncates lineage for free, and makes the job resumable — a
+  stage whose ``_SUCCESS`` marker exists is read back, not recomputed.
+- Id-level filtering uses left_semi / left_anti joins (no row
+  duplication, no payload shuffle: only ids cross the wire, and the
+  id sides here are the SMALL relations — broadcast under AQE).
+- The shuffle story per stage is documented on each component:
+  url/exact dedup shuffle O(distinct), LSH is band-bucketed,
+  clustering is O(edges)/round or driver union-find under 100k edges,
+  sampling and the row-wise filters are shuffle-free codegen.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dedup_clusters, minhash_lsh_candidates
+from .quality import gopher_quality_filter, redact_pii
+from .sampling import stratified_sample
+from .urlops import url_dedup
+
+
+@dataclass
+class CurationResult:
+    """curated: the output docs (input columns with ``text`` replaced by
+    the redacted ``clean_text``). audit: per-stage evidence tables a
+    production pipeline keeps (quality reasons, PII counts, cluster
+    assignments) — already materialized when ``materialize_dir`` was
+    given."""
+
+    curated: DataFrame
+    audit: dict[str, DataFrame] = field(default_factory=dict)
+
+
+def curate(
+    df: DataFrame,
+    rates: dict[str, int],
+    strata_col: str = "lang",
+    default_pct: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    url_col: str | None = None,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.2,
+    hash_fn: str = "xx",
+    materialize_dir: str | None = None,
+) -> CurationResult:
+    """Run the full curation pipeline over a documents-shaped table.
+
+    With ``materialize_dir`` set, each stage output lands in
+    ``<dir>/<stage>/`` and a re-run SKIPS stages whose ``_SUCCESS``
+    marker exists (parquet-level resume; delete a stage dir to force
+    recompute from that point). ``hash_fn='md5'`` selects the
+    cross-engine hash so a DuckDB replica can verify the whole
+    composition (the contract variant); production default is
+    xxhash64."""
+    spark = df.sparkSession
+
+    def mat(d: DataFrame, name: str) -> DataFrame:
+        if materialize_dir is None:
+            return d
+        path = os.path.join(materialize_dir, name)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            d.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    audit: dict[str, DataFrame] = {}
+
+    # 0. crawl-level URL dedup (only when the table carries a url —
+    #    the synthetic documents contract table does not)
+    if url_col is not None:
+        keepers = url_dedup(df, url_col=url_col, id_col=id_col).select(
+            F.col("keeper_id").alias(id_col)
+        )
+        df = mat(
+            df.join(keepers, on=id_col, how="left_semi"), "url_kept"
+        )
+
+    # 1. quality filter (audit keeps the reasons for every doc)
+    quality = mat(
+        gopher_quality_filter(df, text_col=text_col, id_col=id_col),
+        "quality",
+    )
+    audit["quality"] = quality
+    kept = df.join(
+        quality.filter(F.col("keep")).select(F.col("doc_id").alias(id_col)),
+        on=id_col,
+        how="left_semi",
+    )
+
+    # 2. PII redaction — text is replaced by clean_text from here on,
+    #    so dedup fingerprints the text that would actually be trained on
+    red = mat(redact_pii(kept, text_col=text_col, id_col=id_col), "pii")
+    audit["pii"] = red.select("doc_id", "n_emails", "n_ips", "n_phones")
+    docs = mat(
+        kept.drop(text_col).join(
+            red.select(
+                F.col("doc_id").alias(id_col),
+                F.col("clean_text"),
+            ),
+            on=id_col,
+        ),
+        "redacted",
+    )
+
+    # 3. near-dup detection + cluster resolution; survivors keep the
+    #    min-id representative per cluster (exact_dedup's survivor rule)
+    pairs = mat(
+        minhash_lsh_candidates(
+            docs,
+            num_perm=num_perm,
+            bands=bands,
+            n=n,
+            threshold=threshold,
+            text_col="clean_text",
+            id_col=id_col,
+            hash_fn=hash_fn,
+        ),
+        "pairs",
+    )
+    clusters = mat(dedup_clusters(pairs), "clusters")
+    audit["clusters"] = clusters
+    dupes = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    survivors = docs.join(dupes, on=id_col, how="left_anti")
+
+    # 4. deterministic stratified sampling (engine/partitioning/resume
+    #    stable by construction — pure hash of the id)
+    curated = mat(
+        stratified_sample(
+            survivors,
+            rates=rates,
+            strata_col=strata_col,
+            default_pct=default_pct,
+            id_col=id_col,
+        ),
+        "curated",
+    )
+    return CurationResult(curated=curated, audit=audit)

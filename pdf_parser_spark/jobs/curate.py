@@ -1,0 +1,91 @@
+"""The packaged curation job — the LLM-training-data story as one
+runnable artifact (companion to jobs/extract.py):
+
+    python -m pdf_parser_spark.jobs.curate \
+        --input /data/documents --output /data/curated --run-id c1 \
+        [--rates en=50,fr=25,de=10] [--default-pct 5] [--url-col url]
+
+Pipeline: [url_dedup] -> gopher_quality_filter -> redact_pii ->
+minhash_lsh -> dedup_clusters -> stratified_sample. Every stage
+materializes under ``<output>/stages/<name>/`` — re-running with the
+same --output RESUMES from the first stage without a ``_SUCCESS``
+marker (delete a stage dir to force recompute from that point).
+Audit tables (quality reasons, PII counts, cluster assignments) stay
+next to the output; the final table lands in ``<output>/stages/curated``.
+
+The stdout summary line is the contract:
+``run_id=... docs_in=N kept=N deduped=N curated=N secs=S docs_per_sec=R``
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def parse_rates(s: str) -> dict[str, int]:
+    """``en=50,fr=25`` -> {'en': 50, 'fr': 25}; empty string -> {}."""
+    out: dict[str, int] = {}
+    for part in filter(None, (p.strip() for p in s.split(","))):
+        k, _, v = part.partition("=")
+        out[k.strip()] = int(v)
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True, help="output root")
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--rates", default="en=50,fr=25,de=10",
+                    help="per-stratum sample pcts, e.g. en=50,fr=25")
+    ap.add_argument("--default-pct", type=int, default=5)
+    ap.add_argument("--strata-col", default="lang")
+    ap.add_argument("--url-col", default=None,
+                    help="enable crawl-level URL dedup on this column")
+    ap.add_argument("--threshold", type=float, default=0.2,
+                    help="near-dup Jaccard threshold")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from pdf_parser_spark.functions import curate
+    from pdf_parser_spark.session import get_spark
+
+    # don't tear down a session we merely joined (embedded/test use)
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name=f"curate-{args.run_id}", master=args.master)
+    try:
+        t0 = time.monotonic()
+        df = spark.read.parquet(args.input)
+        docs_in = df.count()
+        res = curate(
+            df,
+            rates=parse_rates(args.rates),
+            strata_col=args.strata_col,
+            default_pct=args.default_pct,
+            url_col=args.url_col,
+            threshold=args.threshold,
+            materialize_dir=f"{args.output}/stages",
+        )
+        curated = res.curated.count()
+        kept = res.audit["quality"].filter("keep").count()
+        dupes = res.audit["clusters"].filter(
+            "doc_id <> cluster_id"
+        ).count()
+        secs = time.monotonic() - t0
+        print(
+            f"run_id={args.run_id} docs_in={docs_in} kept={kept} "
+            f"deduped={kept - dupes} curated={curated} "
+            f"secs={secs:.2f} docs_per_sec={docs_in / max(secs, 1e-9):.1f}"
+        )
+        return 0
+    finally:
+        if not pre_existing:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

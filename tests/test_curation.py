@@ -1,0 +1,100 @@
+"""End-to-end curation pipeline (functions/curation.py + jobs/curate.py):
+stage composition invariants, CLI summary contract, parquet-level
+resume, and the optional crawl-level URL-dedup stage."""
+
+import os
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_curate_composition_invariants(spark):
+    from pdf_parser_spark.functions import curate, gopher_quality_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    res = curate(
+        docs, rates={"en": 100, "fr": 100, "de": 100}, default_pct=100,
+        hash_fn="md5",
+    )
+    out = res.curated
+    # schema: input columns with text replaced by clean_text
+    assert set(out.columns) == (set(docs.columns) - {"text"}) | {"clean_text"}
+
+    kept_ids = {
+        r.doc_id
+        for r in gopher_quality_filter(docs).filter("keep").collect()
+    }
+    out_ids = {r.doc_id for r in out.collect()}
+    # rates=100 everywhere -> output is exactly (kept - cluster dupes)
+    assert out_ids <= kept_ids
+    dupes = {
+        r.doc_id
+        for r in res.audit["clusters"].filter(
+            "doc_id <> cluster_id"
+        ).collect()
+    }
+    assert out_ids == kept_ids - dupes
+    # every cluster dupe that passed quality was dropped
+    assert all(d not in out_ids for d in dupes)
+
+
+def test_curate_url_stage(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://x.example/doc/"),
+            # two doc_ids share each canonical url -> min-id keeper only
+            (F.floor(F.col("doc_id") / 2)).cast("string"),
+        ),
+    )
+    from pdf_parser_spark.functions import curate
+
+    res = curate(
+        docs, rates={}, default_pct=100, url_col="url", hash_fn="md5"
+    )
+    ids = {r.doc_id for r in res.curated.collect()}
+    # only even ids can survive (odd ids lose the URL-keeper race)
+    assert ids and all(i % 2 == 0 for i in ids)
+
+
+def test_curate_cli_and_resume(spark, tmp_path):
+    from pdf_parser_spark.jobs.curate import main, parse_rates
+
+    assert parse_rates("en=50, fr=25") == {"en": 50, "fr": 25}
+    assert parse_rates("") == {}
+
+    out = str(tmp_path / "cur")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([
+            "--input", f"{SF_DIR}/documents.parquet",
+            "--output", out, "--run-id", "c1",
+        ])
+    assert rc == 0
+    line = [l for l in buf.getvalue().splitlines() if l.startswith("run_id=")][-1]
+    stats = dict(kv.split("=") for kv in line.split())
+    assert stats["run_id"] == "c1" and int(stats["docs_in"]) == 500
+    assert 0 < int(stats["curated"]) <= int(stats["deduped"]) <= int(stats["kept"])
+
+    stages = ["quality", "pii", "redacted", "pairs", "clusters", "curated"]
+    for s in stages:
+        assert os.path.exists(f"{out}/stages/{s}/_SUCCESS"), s
+    mtimes = {s: os.path.getmtime(f"{out}/stages/{s}/_SUCCESS") for s in stages}
+
+    # re-run: every stage resumes from its _SUCCESS marker (no rewrite)
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        rc = main([
+            "--input", f"{SF_DIR}/documents.parquet",
+            "--output", out, "--run-id", "c2",
+        ])
+    assert rc == 0
+    line2 = [l for l in buf2.getvalue().splitlines() if l.startswith("run_id=")][-1]
+    stats2 = dict(kv.split("=") for kv in line2.split())
+    assert stats2["curated"] == stats["curated"]
+    for s in stages:
+        assert os.path.getmtime(f"{out}/stages/{s}/_SUCCESS") == mtimes[s], s
