@@ -1157,6 +1157,57 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (top-2gram / top-3gram coverage,
+    duplicate-token fraction) + keep flag — the template-spam detector
+    the doc-level gopher_filter rules can't see. Explode + window lead
+    (JVM codegen) and two partial-agg groupBys; DuckDB oracle rebuilds
+    the same grams from the same empty-filtered token list."""
+    from pdf_parser_spark.functions import repetition_stats
+
+    return repetition_stats(_load(spark, sf_dir, "documents"))
+
+
+Q_REPETITION_ORACLE = """
+WITH toksf AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, len(ws) AS n_tok, len(list_distinct(ws)) AS n_distinct
+  FROM toksf WHERE len(ws) > 0
+),
+g2 AS (
+  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+  FROM toksf, unnest(range(1, len(ws))) AS u(i)
+),
+t2 AS (
+  SELECT doc_id, max(cnt) AS top2 FROM (
+    SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+  FROM toksf, unnest(range(1, len(ws) - 1)) AS u(i)
+),
+t3 AS (
+  SELECT doc_id, max(cnt) AS top3 FROM (
+    SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT u.doc_id,
+       round(coalesce(top2, 0) * 2.0 / n_tok, 6) AS top_2gram_frac,
+       round(coalesce(top3, 0) * 3.0 / n_tok, 6) AS top_3gram_frac,
+       round(1.0 - n_distinct * 1.0 / n_tok, 6) AS dup_token_frac,
+       (round(coalesce(top2, 0) * 2.0 / n_tok, 6) <= 0.20
+        AND round(coalesce(top3, 0) * 3.0 / n_tok, 6) <= 0.18) AS keep
+FROM uni u
+LEFT JOIN t2 ON u.doc_id = t2.doc_id
+LEFT JOIN t3 ON u.doc_id = t3.doc_id
+"""
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style keep/drop filter with per-rule reasons."""
     from pdf_parser_spark.functions import gopher_quality_filter
@@ -1581,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "stream_dedup": q_stream_dedup,
         "curation_pipeline": q_curation_pipeline,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1624,4 +1676,5 @@ def oracle_sql() -> dict[str, str]:
         "winnow_overlap": Q_WINNOW_OVERLAP_ORACLE,
         "stream_dedup": Q_STREAM_DEDUP_ORACLE,
         "curation_pipeline": Q_CURATION_ORACLE,
+        "repetition_stats": Q_REPETITION_ORACLE,
     }

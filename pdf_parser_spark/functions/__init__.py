@@ -33,6 +33,7 @@ from .quality import (  # noqa: F401
     language_id,
     quality_metrics,
     redact_pii,
+    repetition_stats,
     winnow_fingerprints,
     winnow_overlap_pairs,
 )

@@ -154,6 +154,95 @@ def winnow_fingerprints(
     return mins.select("doc_id", "fingerprint").distinct()
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_frac_2gram: float = 0.20,
+    max_frac_3gram: float = 0.18,
+) -> DataFrame:
+    """Gopher-style REPETITION signals (the Rae et al. criteria the
+    doc-level filter can't see): the fraction of tokens covered by the
+    single most-common 2-gram / 3-gram, plus the duplicate-token
+    fraction, and a keep flag under the given caps. Boilerplate and
+    template spam ("click here click here ...") passes length/alpha
+    rules but lights up here.
+
+    Token-level (this corpus has no newlines, so line/paragraph
+    variants would be degenerate): frac_n = top_count * n / n_tokens;
+    dup_token_frac = 1 - distinct/total. Empty tokens are dropped
+    before gram formation on BOTH engines (the oracle filters ws the
+    same way), so double spaces can't desync positions.
+
+    Scale: one explode + window lead (the winnow_fingerprints pattern —
+    JVM codegen, not interpreted HOFs) then two partial-agg groupBys;
+    shuffle rows are (doc_id, gram) token-sized, shuffle key is doc_id
+    + gram so hot documents spread across reducers."""
+    from pyspark.sql import Window
+
+    words = F.split(F.trim(F.col(text_col)), " ")
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(words).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = tok.select(
+        "doc_id",
+        F.col("w"),
+        F.lead("w", 1).over(w).alias("w1"),
+        F.lead("w", 2).over(w).alias("w2"),
+    )
+
+    def top_frac(gram_col, n: int, flag):
+        per = (
+            grams.filter(flag)
+            .groupBy("doc_id", gram_col.alias("g"))
+            .count()
+            .groupBy("doc_id")
+            .agg(
+                F.max("count").alias("top"),
+                F.sum("count").alias("tot"),
+            )
+        )
+        # frac over TOKENS: top gram covers top*n of (tot + n - 1) toks;
+        # use n_tok from the unigram side for a common denominator
+        return per.select(
+            "doc_id", F.col("top").alias(f"top{n}"),
+        )
+
+    uni = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.count_distinct("w").alias("n_distinct"),
+    )
+    g2 = top_frac(F.concat_ws(" ", "w", "w1"), 2, F.col("w1").isNotNull())
+    g3 = top_frac(
+        F.concat_ws(" ", "w", "w1", "w2"), 3, F.col("w2").isNotNull()
+    )
+    out = (
+        uni.join(g2, "doc_id", "left").join(g3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("top2"), F.lit(0)) * 2.0 / F.col("n_tok"), 6
+            ).alias("top_2gram_frac"),
+            F.round(
+                F.coalesce(F.col("top3"), F.lit(0)) * 3.0 / F.col("n_tok"), 6
+            ).alias("top_3gram_frac"),
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_tok").cast("double"), 6
+            ).alias("dup_token_frac"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("top_2gram_frac") <= max_frac_2gram)
+        & (F.col("top_3gram_frac") <= max_frac_3gram),
+    )
+
+
 def gopher_quality_filter(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -88,6 +88,34 @@ def brute_force_cosine_topk(
     )
 
 
+def _eager_kernel_output(df: DataFrame, batch_rows: int = 4096) -> DataFrame:
+    """Execute an Arrow-kernel stage NOW, with a kernel-sized batch.
+
+    Two effects, both measured at sf0.1 (warm workers):
+    - eager localCheckpoint: the downstream broadcast-join/rerank plan
+      builds on a materialized relation instead of re-planning through
+      the python stage — end-to-end lsh 6.4s -> 2.3s, ivf 8.8s -> 1.7s,
+      both now faster than the 3.2s brute-force path they approximate.
+    - batch size: kernel rows are ~300 bytes, so tiny Arrow batches pay
+      per-batch overhead (8 rows: 1.28s kernel pass; >=256 rows:
+      ~0.35s). Scoping the setting here keeps callers free to tune the
+      session batch down for MB-scale blob columns without dragging
+      embedding kernels with it.
+    At cluster scale swap localCheckpoint for a parquet materialization
+    (the embedding_near_dup pattern) to survive executor loss."""
+    spark = df.sparkSession
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, str(batch_rows))
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic signed-random-projection hyperplanes (host-side
     constants baked into the plan as literals)."""
@@ -247,18 +275,22 @@ def ivf_cosine_topk(
     )
     centroids = ivf_fit_centroids(train, nlist, seed=seed)
 
-    assigned = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        _make_ivf_assign_kernel(centroids, id_col, vec_col, "nid", 1),
-        schema="nid long, vec array<float>, nrm double, lists array<int>",
+    assigned = _eager_kernel_output(
+        df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            _make_ivf_assign_kernel(centroids, id_col, vec_col, "nid", 1),
+            schema="nid long, vec array<float>, nrm double, lists array<int>",
+        )
     ).select(
         F.col("nid").alias("neighbor_id"),
         F.col("vec").alias("cvec"),
         F.col("nrm").alias("cn"),
         F.element_at("lists", 1).alias("list_id"),
     )
-    q = query_df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        _make_ivf_assign_kernel(centroids, id_col, vec_col, "qid", nprobe),
-        schema="qid long, vec array<float>, nrm double, lists array<int>",
+    q = _eager_kernel_output(
+        query_df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            _make_ivf_assign_kernel(centroids, id_col, vec_col, "qid", nprobe),
+            schema="qid long, vec array<float>, nrm double, lists array<int>",
+        )
     ).select(
         F.col("qid").alias("query_id"),
         F.col("vec").alias("qvec"),
@@ -323,9 +355,11 @@ def lsh_cosine_topk(
         "{id} long, vec array<float>, nrm double, "
         + ", ".join(f"b_{t} long" for t in range(n_tables))
     )
-    c0 = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        _make_lsh_code_kernel(planes_per_table, id_col, vec_col, "nid"),
-        schema=code_schema.format(id="nid"),
+    c0 = _eager_kernel_output(
+        df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            _make_lsh_code_kernel(planes_per_table, id_col, vec_col, "nid"),
+            schema=code_schema.format(id="nid"),
+        )
     )
     c = c0.select(
         F.col("nid").alias("neighbor_id"),
@@ -347,9 +381,11 @@ def lsh_cosine_topk(
         F.col("tb.table").alias("table"),
         F.col("tb.bucket").alias("bucket"),
     )
-    q0 = query_df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        _make_lsh_code_kernel(planes_per_table, id_col, vec_col, "qid"),
-        schema=code_schema.format(id="qid"),
+    q0 = _eager_kernel_output(
+        query_df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            _make_lsh_code_kernel(planes_per_table, id_col, vec_col, "qid"),
+            schema=code_schema.format(id="qid"),
+        )
     )
     probe_structs = []
     for t in range(n_tables):

@@ -157,6 +157,39 @@ def test_cosine_topk_exact_vs_lsh(spark):
     assert hits >= 6
 
 
+def test_repetition_stats(spark):
+    """Template spam lights up the top-ngram fractions; diverse text
+    stays under the caps; a doc of one repeated token maxes out."""
+    from pdf_parser_spark.functions import repetition_stats
+
+    rows = [
+        (1, "click here click here click here click here now"),
+        (2, "the quick brown fox jumps over a lazy dog while two "
+            "red birds watch from tall green trees near my old house"),
+        (3, "spam spam spam spam spam spam"),
+        (4, "a b  c a b"),  # double space: empty token must not desync
+    ]
+    out = {
+        r.doc_id: r
+        for r in repetition_stats(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    # doc 1: 'click here' appears 4x in 9 tokens -> 8/9 coverage
+    assert abs(out[1].top_2gram_frac - round(8 / 9, 6)) < 1e-9
+    assert not out[1].keep
+    # doc 2: 22 all-distinct tokens -> every n-gram unique, frac = n/22
+    assert abs(out[2].top_2gram_frac - round(2 / 22, 6)) < 1e-9
+    assert out[2].keep and out[2].dup_token_frac == 0.0
+    # doc 3: one token repeated 6x -> 2-gram 'spam spam' 5x over 6 toks
+    assert abs(out[3].top_2gram_frac - round(10 / 6, 6)) < 1e-9
+    assert abs(out[3].dup_token_frac - round(5 / 6, 6)) < 1e-9
+    assert not out[3].keep
+    # doc 4: empty token dropped -> tokens [a,b,c,a,b], top 2-gram
+    # 'a b' x2 -> 4/5
+    assert abs(out[4].top_2gram_frac - 0.8) < 1e-9
+
+
 def test_ann_scale_paths_recall_floor(spark):
     """The contract parameterization of the LSH and IVF scale paths must
     hold a recall floor against the exact brute-force path on the real
