@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import dedup_clusters, minhash_lsh_candidates
-from .quality import gopher_quality_filter, redact_pii
+from .quality import gopher_quality_filter, redact_pii, repetition_stats
 from .sampling import stratified_sample
 from .urlops import url_dedup
 
@@ -58,6 +58,7 @@ def curate(
     text_col: str = "text",
     id_col: str = "doc_id",
     url_col: str | None = None,
+    repetition_filter: bool = False,
     num_perm: int = 16,
     bands: int = 4,
     n: int = 3,
@@ -107,6 +108,22 @@ def curate(
         on=id_col,
         how="left_semi",
     )
+
+    # 1b. optional Gopher repetition filter (top-ngram coverage caps) —
+    #     off by default so the composed contract oracle stays fixed
+    if repetition_filter:
+        rep = mat(
+            repetition_stats(kept, text_col=text_col, id_col=id_col),
+            "repetition",
+        )
+        audit["repetition"] = rep
+        kept = kept.join(
+            rep.filter(F.col("keep")).select(
+                F.col("doc_id").alias(id_col)
+            ),
+            on=id_col,
+            how="left_semi",
+        )
 
     # 2. PII redaction — text is replaced by clean_text from here on,
     #    so dedup fingerprints the text that would actually be trained on

@@ -44,6 +44,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--strata-col", default="lang")
     ap.add_argument("--url-col", default=None,
                     help="enable crawl-level URL dedup on this column")
+    ap.add_argument("--repetition-filter", action="store_true",
+                    help="also drop docs over Gopher top-ngram caps")
     ap.add_argument("--threshold", type=float, default=0.2,
                     help="near-dup Jaccard threshold")
     ap.add_argument("--master", default=None)
@@ -67,6 +69,7 @@ def main(argv: list[str] | None = None) -> int:
             strata_col=args.strata_col,
             default_pct=args.default_pct,
             url_col=args.url_col,
+            repetition_filter=args.repetition_filter,
             threshold=args.threshold,
             materialize_dir=f"{args.output}/stages",
         )

@@ -39,6 +39,38 @@ def test_curate_composition_invariants(spark):
     assert all(d not in out_ids for d in dupes)
 
 
+def test_curate_repetition_filter(spark):
+    """With repetition_filter=True a template-spam doc (passes the
+    doc-level gopher rules, fails the top-ngram caps) is dropped; the
+    diverse doc survives both."""
+    from pdf_parser_spark.functions import curate
+
+    # 30 distinct filler words keep the gopher distinct-ratio rule
+    # happy (38/46 = 0.83); the repeated bigram alone trips the
+    # top-2gram cap (16/46 = 0.35 > 0.20)
+    filler = " ".join(
+        f"word{i:02d}" for i in range(30)
+    )
+    spam = filler + " click here" * 8
+    good = ("the quick brown fox jumps over a lazy dog while two red "
+            "birds watch from tall green trees near my old house today")
+    docs = spark.createDataFrame(
+        [(1, spam, "en", "s"), (2, good, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    base = {r.doc_id for r in curate(
+        docs, rates={}, default_pct=100, hash_fn="md5"
+    ).curated.collect()}
+    filt = curate(
+        docs, rates={}, default_pct=100, hash_fn="md5",
+        repetition_filter=True,
+    )
+    ids = {r.doc_id for r in filt.curated.collect()}
+    assert base == {1, 2} and ids == {2}
+    assert {r.doc_id: r.keep for r in filt.audit["repetition"].collect()} \
+        == {1: False, 2: True}
+
+
 def test_curate_url_stage(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
         "url",

@@ -133,3 +133,57 @@ def test_embedding_near_dup_single_embed_pass(spark):
     assert count_nodes(plan, "HashAggregate") == 2  # only the final distinct
     assert "documents.parquet" not in plan  # corpus is NOT re-read
     assert plan.count("pps_embnd_") >= 1  # scans the materialized table
+
+
+def test_lsh_ivf_rerank_over_checkpointed_kernels(spark):
+    """The ANN scale paths must NOT re-execute their python kernel
+    stages inside the rerank plan: the SRP/IVF code kernels run once at
+    build (eager localCheckpoint, batch-sized for slim rows), so the
+    returned plan joins CHECKPOINTED relations — no MapInPandas, no
+    per-row python — and broadcasts the small query side."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.functions import ivf_cosine_topk, lsh_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    for out in (
+        lsh_cosine_topk(emb, q, k=3, dim=64),
+        ivf_cosine_topk(emb, q, k=3, dim=64, max_train=256),
+    ):
+        plan = plan_of(out)
+        assert "MapInPandas" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "BroadcastHashJoin" in plan
+
+
+def test_curation_composed_plan_shape(spark):
+    """The composed (lazy) curation plan: id-filtering stays semi/anti
+    (no row duplication), and there is no per-row python anywhere —
+    the whole composition is JVM expressions + the dedup internals'
+    checkpointed relations."""
+    from pdf_parser_spark.functions import curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = curate(
+        docs, rates={"en": 50, "fr": 25, "de": 10}, default_pct=5,
+        hash_fn="md5",
+    ).curated
+    plan = plan_of(out)
+    assert "LeftSemi" in plan   # quality keep-filter join
+    assert "LeftAnti" in plan   # cluster-dupe drop
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_repetition_stats_partial_agg(spark):
+    """Gram counting must combine map-side before its exchange (shuffle
+    O(distinct grams), not O(tokens)); the final joins are on slim
+    doc_id-keyed aggregates."""
+    from pdf_parser_spark.functions import repetition_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(repetition_stats(docs))
+    assert count_nodes(plan, "HashAggregate") >= 4  # partial+final pairs
+    assert "partial_count" in plan or "partial" in plan.lower()
