@@ -1157,6 +1157,50 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage detection (maximal shared runs of >= 8
+    consecutive tokens, ExactSubstr-style): df-capped gram self-join +
+    gaps-and-islands merge. md5 contract variant; the oracle rebuilds
+    the same grams, cap, diagonals and islands in DuckDB SQL."""
+    from pdf_parser_spark.functions import duplicate_passages
+
+    return duplicate_passages(
+        _load(spark, sf_dir, "documents"), min_len=8, hash_fn="md5"
+    )
+
+
+Q_DUP_PASSAGES_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
+  FROM documents
+),
+grams0 AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_duck_h64("array_to_string(ws[i:i+7], ' ')")} AS h
+  FROM toks, unnest(range(1, len(ws) - 6)) AS u(i)
+),
+rare AS (
+  SELECT h FROM grams0 GROUP BY h HAVING count(DISTINCT doc_id) <= 50
+),
+g AS (SELECT grams0.* FROM grams0 JOIN rare USING (h)),
+seeds AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS d
+  FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT *, pos_a - row_number()
+      OVER (PARTITION BY id_a, id_b, d ORDER BY pos_a) AS grp
+  FROM seeds
+)
+SELECT id_a, id_b,
+       min(pos_a) AS a_start, min(pos_b) AS b_start,
+       max(pos_a) - min(pos_a) + 8 AS length
+FROM isl GROUP BY id_a, id_b, d, grp
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals (top-2gram / top-3gram coverage,
     duplicate-token fraction) + keep flag — the template-spam detector
@@ -1633,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "curation_pipeline": q_curation_pipeline,
         "repetition_stats": q_repetition_stats,
+        "dup_passages": q_dup_passages,
     }
 
 
@@ -1677,4 +1722,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": Q_STREAM_DEDUP_ORACLE,
         "curation_pipeline": Q_CURATION_ORACLE,
         "repetition_stats": Q_REPETITION_ORACLE,
+        "dup_passages": Q_DUP_PASSAGES_ORACLE,
     }

@@ -12,6 +12,7 @@ the cluster.
 
 from .dedup import (  # noqa: F401
     dedup_clusters,
+    duplicate_passages,
     embedding_near_dup,
     exact_dedup,
     hashed_bow_embedding,

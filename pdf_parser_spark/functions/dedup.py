@@ -820,3 +820,105 @@ def simhash64(
             .otherwise(F.lit(0).cast("long"))
         )
     return agg.select("doc_id", sim.alias("simhash"))
+
+
+def duplicate_passages(
+    df: DataFrame,
+    min_len: int = 8,
+    max_gram_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """EXACT duplicated-passage detection (the ExactSubstr move of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): maximal runs of >= ``min_len`` consecutive tokens shared
+    verbatim between two documents. Near-dup operators (minhash/
+    simhash) score whole documents; this finds the copied SPANS — the
+    unit a curation pipeline actually cuts.
+
+    Algorithm, all JVM codegen (suffix arrays don't distribute; rolling
+    gram matching does):
+    1. re-indexed token stream per doc (empty tokens dropped BEFORE
+       indexing, so both engines number the same positions),
+    2. hash every ``min_len``-token gram (window lead, one shuffle on
+       doc_id — the winnow_fingerprints shape),
+    3. df-capped self-join on the gram hash: a boilerplate gram in m
+       docs is an m^2 join key, so grams in > ``max_gram_df`` docs are
+       dropped first (the ngram_jaccard / winnow_overlap lesson),
+    4. gaps-and-islands merge: seed matches on one (id_a, id_b,
+       pos_a - pos_b) diagonal with consecutive pos_a are ONE maximal
+       span (pos_a - row_number() island key, then min/max per island).
+
+    Output: (id_a, id_b, a_start, b_start, length) per maximal span,
+    positions in filtered-token coordinates, id_a < id_b.
+
+    Scale: shuffle rows are token-sized through step 2, seed-sized
+    after; nothing is all-pairs (bounded by max_gram_df per gram), and
+    island merging shuffles only matched seeds on (id_a, id_b, d)."""
+    from pyspark.sql import Window
+
+    words = F.split(F.trim(F.col(text_col)), " ")
+    tok0 = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words).alias("p0", "w"),
+    ).filter(F.col("w") != "")
+    w0 = Window.partitionBy("doc_id").orderBy("p0")
+    tok = tok0.select(
+        "doc_id", (F.row_number().over(w0) - 1).alias("pos"), "w"
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w", j).over(wl) for j in range(1, min_len)]
+    grams = (
+        tok.select(
+            "doc_id",
+            "pos",
+            hash64_multi([F.col("w"), *leads], hash_fn, sep=" ").alias("h"),
+            leads[-1].isNotNull().alias("full"),
+        )
+        .filter("full")
+        .drop("full")
+    )
+    rare = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df_"))
+        .filter(F.col("df_") <= max_gram_df)
+        .select("h")
+    )
+    g = grams.join(rare, "h", "left_semi").localCheckpoint(eager=True)
+    a = g.select(
+        F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"), "h"
+    )
+    b = g.select(
+        F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b"), "h"
+    )
+    seeds = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "pos_a",
+            "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("d"),
+        )
+    )
+    wi = Window.partitionBy("id_a", "id_b", "d").orderBy("pos_a")
+    isl = seeds.withColumn("grp", F.col("pos_a") - F.row_number().over(wi))
+    return (
+        isl.groupBy("id_a", "id_b", "d", "grp")
+        .agg(
+            F.min("pos_a").alias("a_start"),
+            F.max("pos_a").alias("a_end"),
+            F.min("pos_b").alias("b_start"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("a_start").cast("long").alias("a_start"),
+            F.col("b_start").cast("long").alias("b_start"),
+            (F.col("a_end") - F.col("a_start") + min_len)
+            .cast("long")
+            .alias("length"),
+        )
+    )

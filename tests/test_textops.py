@@ -157,6 +157,42 @@ def test_cosine_topk_exact_vs_lsh(spark):
     assert hits >= 6
 
 
+def test_duplicate_passages(spark):
+    """Seeds on one diagonal merge into ONE maximal span with exact
+    coordinates; disjoint shared runs yield separate spans; a gram
+    shared by more docs than max_gram_df is dropped entirely."""
+    from pdf_parser_spark.functions import duplicate_passages
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    rows = [
+        (1, "x1 x2 " + shared + " y1 y2 y3"),
+        (2, "z1 " + shared + " z2 z3 z4 z5"),
+        (3, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"),
+    ]
+    out = duplicate_passages(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        min_len=4,
+    ).collect()
+    assert len(out) == 1
+    s = out[0]
+    # doc1 tokens: x1 x2 alpha(2)..zeta(7); doc2: z1 alpha(1)..zeta(6)
+    assert (s.id_a, s.id_b, s.a_start, s.b_start, s.length) == (1, 2, 2, 1, 6)
+
+    # df cap: the same 4-gram in 3 docs with max_gram_df=2 -> no pairs
+    rows3 = [(i, f"lead{i} " + shared) for i in (1, 2, 3)]
+    capped = duplicate_passages(
+        spark.createDataFrame(rows3, "doc_id long, text string"),
+        min_len=6, max_gram_df=2,
+    ).collect()
+    assert capped == []
+    uncapped = duplicate_passages(
+        spark.createDataFrame(rows3, "doc_id long, text string"),
+        min_len=6, max_gram_df=3,
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in uncapped} == {(1, 2), (1, 3), (2, 3)}
+    assert all(r.length == 6 for r in uncapped)
+
+
 def test_repetition_stats(spark):
     """Template spam lights up the top-ngram fractions; diverse text
     stays under the caps; a doc of one repeated token maxes out."""
