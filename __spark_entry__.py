@@ -1169,8 +1169,11 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_DUP_PASSAGES_ORACLE = f"""
-WITH toks AS (
+def _mk_dup_span_ctes() -> str:
+    """DuckDB replica of duplicate_passages(min_len=8, hash_fn='md5')
+    as a CTE chain ending in ``spans`` — shared by the span-detection
+    oracle and the span-removal oracle."""
+    return f"""toks AS (
   SELECT doc_id,
          list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
   FROM documents
@@ -1193,12 +1196,67 @@ isl AS (
   SELECT *, pos_a - row_number()
       OVER (PARTITION BY id_a, id_b, d ORDER BY pos_a) AS grp
   FROM seeds
+),
+spans AS (
+  SELECT id_a, id_b,
+         min(pos_a) AS a_start, min(pos_b) AS b_start,
+         max(pos_a) - min(pos_a) + 8 AS length
+  FROM isl GROUP BY id_a, id_b, d, grp
+)"""
+
+
+Q_DUP_PASSAGES_ORACLE = (
+    "WITH "
+    + _mk_dup_span_ctes()
+    + "\nSELECT id_a, id_b, a_start, b_start, length FROM spans\n"
 )
-SELECT id_a, id_b,
-       min(pos_a) AS a_start, min(pos_b) AS b_start,
-       max(pos_a) - min(pos_a) + 8 AS length
-FROM isl GROUP BY id_a, id_b, d, grp
+
+
+def q_cut_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REMOVAL (the acting half of dup_passages): cut every
+    duplicated span from the higher-id document of its pair, rebuild
+    the text from the surviving tokens, report kept/cut counts and the
+    sha of the rebuilt text. Oracle rebuilds identically in SQL from
+    the same spans CTE."""
+    from pdf_parser_spark.functions import cut_duplicate_passages
+
+    out = cut_duplicate_passages(
+        _load(spark, sf_dir, "documents"), min_len=8, hash_fn="md5"
+    )
+    return out.select(
+        "doc_id", "n_kept", "n_cut",
+        F.sha2("clean_text", 256).alias("clean_sha"),
+    )
+
+
+Q_CUT_PASSAGES_ORACLE = (
+    "WITH "
+    + _mk_dup_span_ctes()
+    + """,
+cuts AS (
+  SELECT DISTINCT id_b AS doc_id, b_start + u.i AS pos
+  FROM spans, unnest(range(0, length)) AS u(i)
+),
+tok AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS w
+  FROM toks, unnest(range(1, len(ws) + 1)) AS u(i)
+),
+keep AS (
+  SELECT t.* FROM tok t
+  LEFT JOIN cuts c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.doc_id IS NULL
+),
+orig AS (SELECT doc_id, count(*) AS n_orig FROM tok GROUP BY doc_id),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(w, ' ' ORDER BY pos) AS clean_text
+  FROM keep GROUP BY doc_id
+)
+SELECT r.doc_id, r.n_kept, o.n_orig - r.n_kept AS n_cut,
+       sha256(r.clean_text) AS clean_sha
+FROM reb r JOIN orig o ON r.doc_id = o.doc_id
 """
+)
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1678,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "repetition_stats": q_repetition_stats,
         "dup_passages": q_dup_passages,
+        "cut_passages": q_cut_passages,
     }
 
 
@@ -1723,4 +1782,5 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": Q_CURATION_ORACLE,
         "repetition_stats": Q_REPETITION_ORACLE,
         "dup_passages": Q_DUP_PASSAGES_ORACLE,
+        "cut_passages": Q_CUT_PASSAGES_ORACLE,
     }

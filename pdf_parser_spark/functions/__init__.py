@@ -11,6 +11,7 @@ the cluster.
 """
 
 from .dedup import (  # noqa: F401
+    cut_duplicate_passages,
     dedup_clusters,
     duplicate_passages,
     embedding_near_dup,

@@ -922,3 +922,71 @@ def duplicate_passages(
             .alias("length"),
         )
     )
+
+
+def cut_duplicate_passages(
+    df: DataFrame,
+    min_len: int = 8,
+    max_gram_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xx",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """The acting half of ``duplicate_passages``: REMOVE every detected
+    span from the higher-id document of its pair (the min-id doc keeps
+    its copy — the same survivor rule as exact_dedup), rebuild the text
+    from surviving tokens, and report kept/cut counts for audit.
+
+    Overlapping spans from different pairs union before cutting (a doc
+    that is id_b in several pairs loses the union of its b-side spans;
+    its id_a-role spans are never cut). A doc whose every token is cut
+    drops out entirely — full containment degenerates to document
+    dedup, which is correct.
+
+    Scale: span->position explode is output-sized (positions inside
+    detected spans only); the cut is a left_anti on (doc_id, pos); the
+    rebuild is one groupBy(doc_id) whose array sort/join runs once per
+    OUTPUT document — the only higher-order functions in the plan, on
+    result-sized data, never in the per-token hot path."""
+    from pyspark.sql import Window
+
+    if spans is None:
+        spans = duplicate_passages(
+            df, min_len, max_gram_df, text_col, id_col, hash_fn
+        )
+    cuts = spans.select(
+        F.col("id_b").alias("doc_id"),
+        F.explode(
+            F.sequence(
+                F.col("b_start"), F.col("b_start") + F.col("length") - 1
+            )
+        ).alias("pos"),
+    ).distinct()
+    words = F.split(F.trim(F.col(text_col)), " ")
+    tok0 = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words).alias("p0", "w"),
+    ).filter(F.col("w") != "")
+    w0 = Window.partitionBy("doc_id").orderBy("p0")
+    tok = tok0.select(
+        "doc_id", (F.row_number().over(w0) - 1).cast("long").alias("pos"), "w"
+    )
+    orig = tok.groupBy("doc_id").agg(F.count("*").alias("n_orig"))
+    kept = tok.join(cuts, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return rebuilt.join(orig, "doc_id").select(
+        "doc_id",
+        "n_kept",
+        (F.col("n_orig") - F.col("n_kept")).alias("n_cut"),
+        "clean_text",
+    )

@@ -193,6 +193,34 @@ def test_duplicate_passages(spark):
     assert all(r.length == 6 for r in uncapped)
 
 
+def test_cut_duplicate_passages(spark):
+    """The higher-id doc loses the shared span; the min-id doc keeps
+    its copy verbatim; untouched docs round-trip byte-identically; a
+    fully-contained doc drops out (degenerates to document dedup)."""
+    from pdf_parser_spark.functions import cut_duplicate_passages
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, "x1 x2 " + shared + " y1 y2"),
+        (2, "z1 " + shared + " z2"),
+        (3, "solo words only here nothing shared at all"),
+        (4, shared),  # wholly contained in doc 1's span -> fully cut
+    ]
+    out = {
+        r.doc_id: r
+        for r in cut_duplicate_passages(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_len=4,
+        ).collect()
+    }
+    assert out[1].clean_text == rows[0][1]  # keeper intact
+    assert out[1].n_cut == 0
+    assert out[2].clean_text == "z1 z2"  # span cut, frame kept
+    assert out[2].n_cut == 6 and out[2].n_kept == 2
+    assert out[3].clean_text == rows[2][1] and out[3].n_cut == 0
+    assert 4 not in out  # all tokens cut -> doc gone
+
+
 def test_repetition_stats(spark):
     """Template spam lights up the top-ngram fractions; diverse text
     stays under the caps; a doc of one repeated token maxes out."""
