@@ -244,7 +244,10 @@ def repetition_stats(
 
 
 def gopher_quality_filter(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    full_row: bool = False,
 ) -> DataFrame:
     """Gopher-style document filter: keep/drop decision plus the list of
     failed rules (a curation pipeline keeps the reasons for audit).
@@ -252,7 +255,12 @@ def gopher_quality_filter(
     token count in [10, 100000], mean chars/token in [2, 12],
     alpha ratio >= 0.4, distinct-token ratio >= 0.2. Pure codegen
     expressions over one pass; ``reasons`` is a stable comma-joined
-    string so the result is engine-comparable."""
+    string so the result is engine-comparable.
+
+    ``full_row=True`` appends keep/reasons to the INPUT row instead of
+    projecting (doc_id, keep, reasons) — the join-free form streaming
+    pipelines need (a keep-filter join against a projection of the same
+    stream would be a stream-stream join)."""
     t = F.col(text_col)
     words = F.split(F.trim(t), " ")
     n_tok = F.size(words)
@@ -278,6 +286,10 @@ def gopher_quality_filter(
         ",",
         *[F.when(cond, F.lit(name)) for name, cond in rules],
     )
+    if full_row:
+        return df.withColumn("keep", reasons == "").withColumn(
+            "reasons", reasons
+        )
     return df.select(
         F.col(id_col).alias("doc_id"),
         (reasons == "").alias("keep"),
@@ -293,25 +305,34 @@ PII_PHONE = r"\+?[0-9][0-9-]{7,13}[0-9]"
 
 
 def redact_pii(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    full_row: bool = False,
 ) -> DataFrame:
     """Training-data PII scrub: emails / IPv4 addresses / phone-like
     digit runs replaced by typed placeholders, with per-kind counts for
     audit (counts are measured on the ORIGINAL text per pattern).
     Replacement order email -> ip -> phone so the email/host digits are
     gone before the looser phone pattern runs. One codegen pass, no
-    shuffle — the same per-row shape as the quality metrics."""
+    shuffle — the same per-row shape as the quality metrics.
+
+    ``full_row=True`` keeps every input column (with ``text_col``
+    dropped in favor of clean_text) — the join-free streaming form."""
     t = F.col(text_col)
     clean = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
     clean = F.regexp_replace(clean, PII_IPV4, "<IP>")
     clean = F.regexp_replace(clean, PII_PHONE, "<PHONE>")
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    outs = [
         clean.alias("clean_text"),
         F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)).alias("n_emails"),
         F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0)).alias("n_ips"),
         F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0)).alias("n_phones"),
-    )
+    ]
+    if full_row:
+        keep_cols = [F.col(c) for c in df.columns if c != text_col]
+        return df.select(*keep_cols, *outs)
+    return df.select(F.col(id_col).alias("doc_id"), *outs)
 
 
 def winnow_overlap_pairs(

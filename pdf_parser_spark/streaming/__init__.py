@@ -10,6 +10,7 @@ lineage/resume path.
 """
 
 from .ingest import (  # noqa: F401
+    stream_curate_stateless,
     stream_dedup,
     stream_extract,
     stream_hourly_rollup,

@@ -144,3 +144,27 @@ def stream_hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataF
             "sum_value",
         )
     )
+
+
+def stream_curate_stateless(docs: DataFrame) -> DataFrame:
+    """The stateless prefix of the curation pipeline on a STREAM:
+    Gopher quality filter -> PII redaction, per arriving micro-batch.
+    Both stages are pure row-wise expressions, so the exact batch
+    operators run unchanged on a streaming DataFrame — no state store,
+    no watermark, exactly-once from the file-source/commit logs alone.
+
+    Join-free by construction (the ``full_row`` forms of the quality
+    operators): a keep-filter join against a projection of the same
+    stream would be a stream-stream join, which needs watermarks this
+    pipeline has no use for. The stateful suffix (cross-stream dedup)
+    is ``stream_dedup``; near-dup clustering and sampling remain batch
+    jobs over the curated sink (the standard lambda split: per-record
+    hygiene at ingest, corpus-level dedup in the nightly compaction)."""
+    from ..functions.quality import gopher_quality_filter, redact_pii
+
+    kept = (
+        gopher_quality_filter(docs, full_row=True)
+        .filter(F.col("keep"))
+        .drop("keep", "reasons")
+    )
+    return redact_pii(kept, full_row=True)

@@ -159,3 +159,66 @@ def test_stream_dedup_stateful_across_batches(spark, tmp_path):
     run()
     got2 = sorted((r.url, r.doc_sha) for r in spark.read.parquet(out).collect())
     assert got2 == [("u1", "sha_a"), ("u2", "sha_b"), ("u5", "sha_c")]
+
+
+def test_stream_curate_stateless_matches_batch(spark, tmp_path):
+    """The streaming quality->PII prefix must produce EXACTLY the batch
+    composition's rows (same expressions, join-free full_row forms) —
+    and work incrementally across two micro-batch drains."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.functions.quality import (
+        gopher_quality_filter,
+        redact_pii,
+    )
+    from pdf_parser_spark.streaming import stream_curate_stateless
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    schema_str = "doc_id long, text string, lang string, source string, n_chars long"
+    feed = str(tmp_path / "cfeed")
+    out = str(tmp_path / "cout")
+    ck = str(tmp_path / "cck")
+
+    def drain():
+        s = spark.readStream.schema(schema_str).parquet(feed)
+        q = (
+            stream_curate_stateless(s)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(480)
+
+    half1 = docs.filter("doc_id < 250").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    half2 = docs.filter("doc_id >= 250").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    half1.write.mode("append").parquet(feed)
+    drain()
+    n1 = spark.read.parquet(out).count()
+    half2.write.mode("append").parquet(feed)
+    drain()  # second drain resumes from the checkpoint, new files only
+
+    got = {
+        r.doc_id: (r.clean_text, r.n_emails, r.lang)
+        for r in spark.read.parquet(out).collect()
+    }
+    kept = docs.join(
+        gopher_quality_filter(docs).filter(F.col("keep")).select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    exp_red = redact_pii(kept)
+    exp = {
+        r.doc_id: (r.clean_text, r.n_emails)
+        for r in exp_red.collect()
+    }
+    langs = {r.doc_id: r.lang for r in kept.select("doc_id", "lang").collect()}
+    assert set(got) == set(exp)
+    assert n1 < len(got)  # both drains contributed
+    for did, (ct, ne, lg) in got.items():
+        assert (ct, ne) == exp[did] and lg == langs[did]
