@@ -81,3 +81,32 @@ class TableIO:
                 .partitionBy(partition_col)
                 .parquet(self._path(name))
             )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sorted_by: str | None = None,
+) -> None:
+    """Bucketed table write: rows are hash-partitioned on ``bucket_col``
+    into ``n_buckets`` files per partition AND the layout is recorded in
+    the catalog, so every subsequent equi-join or aggregation on that
+    key reads co-located data and skips its Exchange entirely.
+
+    This is the 100 TB co-location move: shuffle the big fact tables
+    ONCE at write time (documents and every doc_id-keyed derivative on
+    the same bucket spec), then the daily join/agg workload runs
+    shuffle-free on the hot key. Pick n_buckets ~ table_size /
+    target_partition_size (128-512 MB); both join sides must share the
+    bucket count for the exchange-free plan. ``sorted_by`` additionally
+    orders within buckets so sort-merge joins skip their sorts.
+
+    Iceberg note: on an Iceberg catalog the same layout is a
+    bucket(n, col) partition transform; this helper targets the session
+    catalog (parquet tables), which local mode supports out of the box."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sorted_by is not None:
+        w = w.sortBy(sorted_by)
+    w.format("parquet").saveAsTable(table)

@@ -103,6 +103,17 @@ def main() -> None:
         plan_of(repetition_stats(d)),
     ))
 
+    from pdf_parser_spark.functions import duplicate_passages
+
+    sections.append((
+        "duplicate_passages (df-capped gram join + islands merge)",
+        "Gram hashing is one window pass over checkpointed tokens; the "
+        "viral-gram cap lands as a join against the df<=cap aggregate "
+        "BEFORE the quadratic self-join key; island merging is a window "
+        "+ partial-agg groupBy over seed-sized rows only.",
+        plan_of(duplicate_passages(d, hash_fn="md5")),
+    ))
+
     from pdf_parser_spark.functions import curate
 
     cur = curate(
