@@ -457,6 +457,19 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_q8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized cosine top-5 (the MEMORY scale path: 4x smaller
+    resident vectors; exact integer dots over quantized codes) for the
+    first 10 vectors. VALUES oracle from the pure-Python replica —
+    quantization, dots and norms are all bit-deterministic."""
+    from pdf_parser_spark.functions import q8_cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = q8_cosine_topk(emb, q, k=5, dim=64)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates. The contract variant hashes with
     md5 (hash_fn="md5") so DuckDB reproduces signatures, band buckets and
@@ -1710,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "ivf_cosine_topk": q_ivf_cosine_topk,
+        "q8_cosine_topk": q_q8_cosine_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash64": q_simhash,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1754,6 +1768,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": Q_ANN_ORACLE,
         "lsh_cosine_topk": _VALUES.LSH_TOPK_ORACLE,
         "ivf_cosine_topk": _VALUES.IVF_TOPK_ORACLE,
+        "q8_cosine_topk": _VALUES.Q8_TOPK_ORACLE,
         "rollup_revenue": Q_ROLLUP_ORACLE,
         "semi_anti_customers": Q_SEMI_ANTI_ORACLE,
         "bpe_tokens": Q_BPE_ORACLE,

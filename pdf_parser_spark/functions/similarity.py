@@ -433,3 +433,102 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def _make_q8_kernel(id_col: str, vec_col: str, out_id: str):
+    """Arrow-batched symmetric int8 quantization: per vector,
+    scale = max|v| / 127 and q = rint(v / scale) in [-127, 127].
+    Emits (id, qvec int8, qn = ||q||). Cosine is scale-free under
+    symmetric quantization — (q_a.q_b)/(|q_a||q_b|) needs no scale at
+    query time — so the scale itself is not even carried."""
+
+    def quantize(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            s = np.abs(V).max(axis=1) / 127.0
+            s[s == 0.0] = 1.0
+            Q = np.rint(V / s[:, None]).astype(np.int8)
+            Qd = Q.astype(np.float64)
+            out = pd.DataFrame({out_id: pdf[id_col].values})
+            out["q"] = [row for row in Q]
+            out["qn"] = np.sqrt((Qd * Qd).sum(axis=1))
+            yield out
+
+    return quantize
+
+
+def q8_cosine_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Quantized cosine top-k: both sides symmetric-int8 quantized, the
+    pair score is an EXACT int64 dot of int8 codes over the codes'
+    norms. The memory/bandwidth scale path, complementing LSH/IVF's
+    compute cuts: the resident corpus shrinks 4x (64 bytes vs 256 per
+    dim=64 vector), which is what bounds a broadcast or a cached
+    corpus at 10^9 vectors. Recall loss is the quantization angle
+    error (~1e-2 on unit gaussians) — rank changes only where true
+    cosines are closer than that.
+
+    Fully deterministic (rint is IEEE round-half-even on both numpy and
+    the oracle replica; integer dots are exact), so VALUES-oracle
+    checkable like the other ANN paths."""
+    c = _eager_kernel_output(
+        df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            _make_q8_kernel(id_col, vec_col, "nid"),
+            schema="nid long, q array<tinyint>, qn double",
+        )
+    ).select(
+        F.col("nid").alias("neighbor_id"),
+        F.col("q").alias("cq"),
+        F.col("qn").alias("cn"),
+    )
+    qy = _eager_kernel_output(
+        query_df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            _make_q8_kernel(id_col, vec_col, "qid"),
+            schema="qid long, q array<tinyint>, qn double",
+        )
+    ).select(
+        F.col("qid").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("qn").alias("qn"),
+    )
+    # exact integer dot, unrolled to flat codegen (HOFs are interpreted)
+    terms = [
+        F.element_at("qq", i + 1).cast("long")
+        * F.element_at("cq", i + 1).cast("long")
+        for i in range(dim)
+    ]
+    idot = terms[0]
+    for t in terms[1:]:
+        idot = idot + t
+    scored = (
+        c.crossJoin(F.broadcast(qy))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                idot.cast("double") / (F.col("qn") * F.col("cn"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

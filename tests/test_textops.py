@@ -265,6 +265,7 @@ def test_ann_scale_paths_recall_floor(spark):
         brute_force_cosine_topk,
         ivf_cosine_topk,
         lsh_cosine_topk,
+        q8_cosine_topk,
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -285,6 +286,12 @@ def test_ann_scale_paths_recall_floor(spark):
             emb, q, k=5, nlist=16, nprobe=3, dim=64, max_train=512
         ).collect()
     }
+    q8 = {
+        (r.query_id, r.neighbor_id)
+        for r in q8_cosine_topk(emb, q, k=5, dim=64).collect()
+    }
+    # int8 quantization perturbs cosines by ~1e-2: near-perfect recall
+    assert len(q8 & exact) / len(exact) >= 0.8, (len(q8 & exact), len(exact))
     assert len(ivf & exact) / len(exact) >= 0.5, (len(ivf & exact), len(exact))
     # neighbors on this table sit at cos ~0.3, the hard regime for SRP:
     # 4 tables x (8+1) probes measured 0.36 recall at ~14% candidate

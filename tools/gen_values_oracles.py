@@ -266,6 +266,41 @@ def gen_ivf_topk_rows(
     return _rank_topk(scored, k)
 
 
+def gen_q8_topk_rows(sf_dir: str, k: int = 5, dim: int = 64) -> list[tuple]:
+    """Replica of similarity.q8_cosine_topk for queries vec_id < 10:
+    symmetric int8 quantization (np.rint — IEEE round-half-even, the
+    same op the kernel runs), EXACT integer dots in python bignums, and
+    norms via math.sqrt of the exact integer square sum (the kernel's
+    float64 sum of int-valued squares is exact below 2^53, so both
+    engines feed sqrt the same value)."""
+    import numpy as np
+
+    ids, vecs = _read_embeddings(sf_dir)
+
+    def quant(v: list):
+        V = np.asarray(v, dtype=np.float64)
+        s = np.abs(V).max() / 127.0
+        if s == 0.0:
+            s = 1.0
+        q = [int(x) for x in np.rint(V / s)]
+        return q, math.sqrt(sum(x * x for x in q))
+
+    side = {vid: quant(v) for vid, v in zip(ids, vecs)}
+    scored: dict[int, list[tuple[float, int]]] = {}
+    for qid in sorted(i for i in ids if i < 10):
+        qq, qn = side[qid]
+        cands = []
+        for nid, (cq, cn) in side.items():
+            if nid == qid:
+                continue
+            dot = 0
+            for j in range(dim):
+                dot += qq[j] * cq[j]
+            cands.append((float(dot) / (qn * cn), nid))
+        scored[qid] = cands
+    return _rank_topk(scored, k)
+
+
 def gen_multimodal_rows(n: int = 24) -> list[tuple]:
     """Expected features for build_demo_media, computed with INDEPENDENT
     stdlib integer arithmetic from the SOURCE arrays (uint8/int16 sums
@@ -393,6 +428,7 @@ def build() -> str:
 
     lsh_sql = topk_sql(gen_lsh_topk_rows(SF_DIR), "SRP-LSH top-k")
     ivf_sql = topk_sql(gen_ivf_topk_rows(SF_DIR), "IVF top-k")
+    q8_sql = topk_sql(gen_q8_topk_rows(SF_DIR), "int8-quantized top-k")
 
     mm_rows = gen_multimodal_rows()
     def _cell(v):
@@ -431,7 +467,8 @@ def build() -> str:
         f"EMBEDDING_NEAR_DUP_ORACLE = {emb_sql!r}\n\n"
         f"MULTIMODAL_ORACLE = {mm_sql!r}\n\n"
         f"LSH_TOPK_ORACLE = {lsh_sql!r}\n\n"
-        f"IVF_TOPK_ORACLE = {ivf_sql!r}\n"
+        f"IVF_TOPK_ORACLE = {ivf_sql!r}\n\n"
+        f"Q8_TOPK_ORACLE = {q8_sql!r}\n"
     )
     return body
 
