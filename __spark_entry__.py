@@ -1465,6 +1465,45 @@ WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 25
 """
 
 
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document quota (dominant-site damping): deterministic
+    md5-lottery row_number per host, quota 30. Hosts are derived from
+    doc_id (5 synthetic sites with skewed membership) identically on
+    both engines, so the oracle checks the lottery + ranking rule."""
+    from pdf_parser_spark.functions.urlops import domain_quota_sample
+
+    d = _load(spark, sf_dir, "documents")
+    # site skew: host h{doc_id % 7 % 5}.example — sites 0/1 get double
+    url = F.concat(
+        F.lit("https://h"),
+        ((F.col("doc_id") % 7) % 5).cast("string"),
+        F.lit(".example/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    out = domain_quota_sample(
+        d.select(url.alias("url"), "doc_id"), quota=30
+    )
+    return out.select("doc_id", "host")
+
+
+Q_DOMAIN_QUOTA_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'h' || CAST((doc_id % 7) % 5 AS VARCHAR) || '.example' AS host,
+         CAST('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS lottery
+  FROM documents
+),
+r AS (
+  SELECT doc_id, host,
+         row_number() OVER (PARTITION BY host ORDER BY lottery, doc_id)
+           AS host_rank
+  FROM u
+)
+SELECT doc_id, host FROM r WHERE host_rank <= 30
+"""
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + URL-level dedup over deterministic crawl
     variants (scheme/port/trailing-slash/fragment/query-order) of
@@ -1744,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "stratified_sample": q_stratified_sample,
         "url_dedup": q_url_dedup,
+        "domain_quota": q_domain_quota,
         "redact_pii": q_redact_pii,
         "winnow_overlap": q_winnow_overlap,
         "stream_dedup": q_stream_dedup,
@@ -1791,6 +1831,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": Q_GOPHER_ORACLE,
         "stratified_sample": Q_STRATIFIED_ORACLE,
         "url_dedup": Q_URL_DEDUP_ORACLE,
+        "domain_quota": Q_DOMAIN_QUOTA_ORACLE,
         "redact_pii": Q_REDACT_PII_ORACLE,
         "winnow_overlap": Q_WINNOW_OVERLAP_ORACLE,
         "stream_dedup": Q_STREAM_DEDUP_ORACLE,

@@ -62,3 +62,52 @@ def url_dedup(
             F.count("*").alias("n_variants"),
         )
     )
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host (port stripped) of a URL — the quota/grouping
+    key for per-site damping."""
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(col, _HOST_RE, 1)), ":[0-9]+$", ""
+    )
+
+
+def domain_quota_sample(
+    df: DataFrame,
+    quota: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Cap documents per host (dominant-site damping — a raw crawl is
+    power-law distributed and a handful of hosts would otherwise own
+    the token budget): keep the ``quota`` docs per host that win a
+    deterministic md5 lottery, ties by id. Stateless and
+    engine/partitioning/resume stable — the same doc wins on every
+    engine and every re-run, like stratified_sample.
+
+    Scale: one window over (host) — shuffle keyed by host. A viral host
+    IS a hot key here, but its partition holds only that host's rows
+    and the window computes a streaming row_number, so the cost is one
+    pass over the hot partition, not a quadratic blowup; AQE skew-join
+    handling does not apply, so for truly pathological hosts pre-filter
+    with a per-partition approximate cap first."""
+    from pyspark.sql import Window
+
+    from .hashing import hash64
+
+    lottery = hash64(
+        F.concat(
+            F.lit(f"{salt}:"), F.col(id_col).cast("string")
+        ),
+        "md5",
+    )
+    host = url_host(F.col(url_col))
+    w = Window.partitionBy("host").orderBy("lottery", id_col)
+    return (
+        df.withColumn("host", host)
+        .withColumn("lottery", lottery)
+        .withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= quota)
+        .drop("lottery", "host_rank")
+    )

@@ -19,6 +19,12 @@ Content-Length payload + CRLF CRLF), and happens entirely on executors:
 the driver only lists file names; each InputPartition carries a file
 slice, so a crawl dump of thousands of WARCs shards across the cluster.
 
+WET dumps (Common Crawl's pre-extracted text: ``conversion`` records,
+``*.warc.wet.gz`` files) are read with
+``.option("record_types", "conversion")`` — the payload lands in the
+``text`` column with ``html`` null; ``"response,conversion"`` mixes
+both in one pass.
+
 Corrupt records do NOT kill the job (the same never-fail contract as
 the document extraction path): on structural corruption the reader
 emits one bad-record row — url ``warcerr://<file>@<recno>``, the parse
@@ -147,13 +153,23 @@ class WarcReader(DataSourceReader):
                 "or copy down first"
             )
         self.files_per_partition = int(options.get("files_per_partition", "4"))
+        # 'response' (WARC: raw http bodies -> html column) and/or
+        # 'conversion' (WET: pre-extracted plain text -> text column)
+        self.record_types = frozenset(
+            t.strip()
+            for t in options.get("record_types", "response").split(",")
+            if t.strip()
+        )
+        bad = self.record_types - {"response", "conversion"}
+        if bad:
+            raise ValueError(f"unsupported record_types: {sorted(bad)}")
 
     def partitions(self):
         names = sorted(
             f
             for f in os.listdir(self.root)
             if os.path.isfile(os.path.join(self.root, f))
-            and (f.endswith(".warc") or f.endswith(".warc.gz"))
+            and f.endswith((".warc", ".warc.gz", ".wet", ".wet.gz"))
         )
         k = self.files_per_partition
         chunks = [names[i : i + k] for i in range(0, len(names), k)]
@@ -181,15 +197,22 @@ class WarcReader(DataSourceReader):
                             None,
                         )
                         continue
-                    if headers.get("warc-type") != "response":
+                    wtype = headers.get("warc-type")
+                    if wtype not in self.record_types:
                         continue
-                    yield (
-                        headers.get("warc-target-uri"),
-                        _parse_warc_date(headers.get("warc-date")),
-                        _http_body(payload),
-                        "",
-                        None,
-                    )
+                    uri = headers.get("warc-target-uri")
+                    ts = _parse_warc_date(headers.get("warc-date"))
+                    if wtype == "conversion":
+                        # WET record: payload is already-extracted text
+                        yield (
+                            uri,
+                            ts,
+                            None,
+                            payload.decode("utf-8", errors="replace"),
+                            None,
+                        )
+                    else:
+                        yield (uri, ts, _http_body(payload), "", None)
 
 
 class WarcDataSource(DataSource):

@@ -193,6 +193,49 @@ def test_duplicate_passages(spark):
     assert all(r.length == 6 for r in uncapped)
 
 
+def test_domain_quota_sample(spark):
+    """Quota is enforced per host, the winners are the md5-lottery
+    minimizers (deterministic across engines/partitionings/re-runs),
+    and under-quota hosts pass through whole."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.functions.hashing import hash64
+    from pdf_parser_spark.functions.urlops import domain_quota_sample
+
+    rows = [
+        (i, f"https://{'big' if i < 20 else 'small'}.example/p/{i}")
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = domain_quota_sample(df, quota=5).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, set()).add(r.doc_id)
+    assert len(by_host["big.example"]) == 5
+    assert by_host["small.example"] == set(range(20, 25))  # under quota
+
+    # winners are exactly the 5 smallest lottery values among ids 0..19
+    lot = {
+        r.doc_id: r.l
+        for r in df.filter("doc_id < 20").select(
+            "doc_id",
+            hash64(
+                F.concat(F.lit("s0:"), F.col("doc_id").cast("string")),
+                "md5",
+            ).alias("l"),
+        ).collect()
+    }
+    expect = set(sorted(lot, key=lambda d: (lot[d], d))[:5])
+    assert by_host["big.example"] == expect
+
+    # partitioning-invariant
+    out2 = {
+        r.doc_id
+        for r in domain_quota_sample(df.repartition(13), quota=5).collect()
+    }
+    assert out2 == {r.doc_id for r in out}
+
+
 def test_cut_duplicate_passages(spark):
     """The higher-id doc loses the shared span; the min-id doc keeps
     its copy verbatim; untouched docs round-trip byte-identically; a

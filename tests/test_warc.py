@@ -119,6 +119,49 @@ def test_warc_concatenated_gzip_members(spark, tmp_path):
     assert urls == ["https://a.example/x", "https://b.example/y"]
 
 
+def test_wet_conversion_records(spark, tmp_path):
+    """WET dumps (conversion records, *.wet.gz files): payload lands in
+    the text column with html null; response records are skipped unless
+    asked for; record_types='response,conversion' mixes both."""
+    recs = [
+        ("warcinfo", None, "2024-03-01T00:00:00Z", b"software: test\r\n"),
+        ("conversion", "https://a.example/x", "2024-03-01T01:00:00Z",
+         "extracted text of page A é".encode()),
+        ("response", "https://b.example/y", "2024-03-01T02:00:00Z",
+         _page("hello B body")),
+    ]
+    write_warc(recs, str(tmp_path / "seg.warc.wet.gz"), compress=True)
+    spark.dataSource.register(WarcDataSource)
+
+    wet = (
+        spark.read.format("warc")
+        .option("path", str(tmp_path))
+        .option("record_types", "conversion")
+        .load()
+    ).collect()
+    assert len(wet) == 1
+    assert wet[0].url == "https://a.example/x"
+    assert wet[0].text == "extracted text of page A é"
+    assert wet[0].html is None
+
+    both = (
+        spark.read.format("warc")
+        .option("path", str(tmp_path))
+        .option("record_types", "response,conversion")
+        .load()
+    ).collect()
+    assert sorted(r.url for r in both) == [
+        "https://a.example/x", "https://b.example/y",
+    ]
+
+    import pytest as _pytest
+
+    from pdf_parser_spark.sources.warc import WarcReader
+
+    with _pytest.raises(ValueError, match="unsupported record_types"):
+        WarcReader({"path": str(tmp_path), "record_types": "metadata"})
+
+
 def test_warc_corrupt_record_resyncs(spark, tmp_path):
     """A mangled record mid-file becomes a bad-record row (never-fail
     contract) and the reader resyncs: every record after it survives."""
