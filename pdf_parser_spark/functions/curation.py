@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from .dedup import dedup_clusters, minhash_lsh_candidates
 from .quality import gopher_quality_filter, redact_pii, repetition_stats
 from .sampling import stratified_sample
-from .urlops import url_dedup
+from .urlops import domain_quota_sample, url_dedup
 
 
 @dataclass
@@ -58,6 +58,7 @@ def curate(
     text_col: str = "text",
     id_col: str = "doc_id",
     url_col: str | None = None,
+    host_quota: int | None = None,
     repetition_filter: bool = False,
     num_perm: int = 16,
     bands: int = 4,
@@ -87,8 +88,8 @@ def curate(
 
     audit: dict[str, DataFrame] = {}
 
-    # 0. crawl-level URL dedup (only when the table carries a url —
-    #    the synthetic documents contract table does not)
+    # 0. crawl-level URL dedup + per-host quota (only when the table
+    #    carries a url — the synthetic documents contract table does not)
     if url_col is not None:
         keepers = url_dedup(df, url_col=url_col, id_col=id_col).select(
             F.col("keeper_id").alias(id_col)
@@ -96,6 +97,13 @@ def curate(
         df = mat(
             df.join(keepers, on=id_col, how="left_semi"), "url_kept"
         )
+        if host_quota is not None:
+            df = mat(
+                domain_quota_sample(
+                    df, quota=host_quota, url_col=url_col, id_col=id_col
+                ).drop("host"),
+                "host_quota",
+            )
 
     # 1. quality filter (audit keeps the reasons for every doc)
     quality = mat(

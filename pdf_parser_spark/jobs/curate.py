@@ -46,6 +46,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="enable crawl-level URL dedup on this column")
     ap.add_argument("--repetition-filter", action="store_true",
                     help="also drop docs over Gopher top-ngram caps")
+    ap.add_argument("--host-quota", type=int, default=None,
+                    help="cap docs per host (needs --url-col)")
     ap.add_argument("--threshold", type=float, default=0.2,
                     help="near-dup Jaccard threshold")
     ap.add_argument("--master", default=None)
@@ -69,6 +71,7 @@ def main(argv: list[str] | None = None) -> int:
             strata_col=args.strata_col,
             default_pct=args.default_pct,
             url_col=args.url_col,
+            host_quota=args.host_quota,
             repetition_filter=args.repetition_filter,
             threshold=args.threshold,
             materialize_dir=f"{args.output}/stages",

@@ -89,6 +89,14 @@ def test_curate_url_stage(spark):
     # only even ids can survive (odd ids lose the URL-keeper race)
     assert ids and all(i % 2 == 0 for i in ids)
 
+    # with a host quota, at most N survivors per host (single host here)
+    res_q = curate(
+        docs, rates={}, default_pct=100, url_col="url", host_quota=10,
+        hash_fn="md5",
+    )
+    ids_q = {r.doc_id for r in res_q.curated.collect()}
+    assert ids_q <= ids and len(ids_q) <= 10
+
 
 def test_curate_cli_and_resume(spark, tmp_path):
     from pdf_parser_spark.jobs.curate import main, parse_rates
