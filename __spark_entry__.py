@@ -1272,6 +1272,63 @@ FROM reb r JOIN orig o ON r.doc_id = o.doc_id
 )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (train/test overlap spans): the eval
+    set is derived deterministically on BOTH engines — for every 17th
+    doc, tokens 5..24 of its empty-filtered token list — so the oracle
+    checks the cross-table gram match + island merge end to end. The
+    benchmark side is broadcast; the corpus never shuffles beyond its
+    gram window."""
+    from pdf_parser_spark.functions import decontaminate
+
+    d = _load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), " "), lambda w: w != ""
+    )
+    bench = d.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(toks, 5, 20), " ").alias("text"),
+    )
+    return decontaminate(d, bench, min_len=8, hash_fn="md5")
+
+
+Q_DECONTAMINATE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
+  FROM documents
+),
+bench AS (
+  SELECT doc_id AS bench_id, ws[5:24] AS bws
+  FROM toks WHERE doc_id % 17 = 0
+),
+dg AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_duck_h64("array_to_string(ws[i:i+7], ' ')")} AS h
+  FROM toks, unnest(range(1, len(ws) - 6)) AS u(i)
+),
+bg AS (
+  SELECT bench_id, i - 1 AS pos,
+         {_duck_h64("array_to_string(bws[i:i+7], ' ')")} AS h
+  FROM bench, unnest(range(1, len(bws) - 6)) AS u(i)
+),
+seeds AS (
+  SELECT dg.doc_id, bg.bench_id,
+         dg.pos AS pos_a, bg.pos AS pos_b, dg.pos - bg.pos AS d
+  FROM dg JOIN bg ON dg.h = bg.h
+),
+isl AS (
+  SELECT *, pos_a - row_number()
+      OVER (PARTITION BY doc_id, bench_id, d ORDER BY pos_a) AS grp
+  FROM seeds
+)
+SELECT doc_id, bench_id,
+       min(pos_a) AS doc_start, min(pos_b) AS bench_start,
+       max(pos_a) - min(pos_a) + 8 AS length
+FROM isl GROUP BY doc_id, bench_id, d, grp
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals (top-2gram / top-3gram coverage,
     duplicate-token fraction) + keep flag — the template-spam detector
@@ -1791,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "dup_passages": q_dup_passages,
         "cut_passages": q_cut_passages,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1839,4 +1897,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": Q_REPETITION_ORACLE,
         "dup_passages": Q_DUP_PASSAGES_ORACLE,
         "cut_passages": Q_CUT_PASSAGES_ORACLE,
+        "decontaminate": Q_DECONTAMINATE_ORACLE,
     }

@@ -12,6 +12,7 @@ the cluster.
 
 from .dedup import (  # noqa: F401
     cut_duplicate_passages,
+    decontaminate,
     dedup_clusters,
     duplicate_passages,
     embedding_near_dup,

@@ -822,6 +822,70 @@ def simhash64(
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def _token_grams(
+    df: DataFrame,
+    min_len: int,
+    text_col: str,
+    id_col: str,
+    hash_fn: str,
+) -> DataFrame:
+    """(doc_id, pos, h) rows: one hash per ``min_len``-token gram over
+    the empty-filtered, re-indexed token stream — the shared front end
+    of duplicate_passages and decontaminate (window lead, one doc_id
+    shuffle; the winnow_fingerprints shape)."""
+    from pyspark.sql import Window
+
+    words = F.split(F.trim(F.col(text_col)), " ")
+    tok0 = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words).alias("p0", "w"),
+    ).filter(F.col("w") != "")
+    w0 = Window.partitionBy("doc_id").orderBy("p0")
+    tok = tok0.select(
+        "doc_id", (F.row_number().over(w0) - 1).alias("pos"), "w"
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w", j).over(wl) for j in range(1, min_len)]
+    return (
+        tok.select(
+            "doc_id",
+            "pos",
+            hash64_multi([F.col("w"), *leads], hash_fn, sep=" ").alias("h"),
+            leads[-1].isNotNull().alias("full"),
+        )
+        .filter("full")
+        .drop("full")
+    )
+
+
+def _merge_islands(
+    seeds: DataFrame, min_len: int, a_id: str = "id_a", b_id: str = "id_b"
+) -> DataFrame:
+    """Gaps-and-islands: seed matches on one (a, b, pos_a - pos_b)
+    diagonal with consecutive pos_a merge into one maximal span."""
+    from pyspark.sql import Window
+
+    wi = Window.partitionBy(a_id, b_id, "d").orderBy("pos_a")
+    isl = seeds.withColumn("grp", F.col("pos_a") - F.row_number().over(wi))
+    return (
+        isl.groupBy(a_id, b_id, "d", "grp")
+        .agg(
+            F.min("pos_a").alias("a_start"),
+            F.max("pos_a").alias("a_end"),
+            F.min("pos_b").alias("b_start"),
+        )
+        .select(
+            a_id,
+            b_id,
+            F.col("a_start").cast("long").alias("a_start"),
+            F.col("b_start").cast("long").alias("b_start"),
+            (F.col("a_end") - F.col("a_start") + min_len)
+            .cast("long")
+            .alias("length"),
+        )
+    )
+
+
 def duplicate_passages(
     df: DataFrame,
     min_len: int = 8,
@@ -856,29 +920,7 @@ def duplicate_passages(
     Scale: shuffle rows are token-sized through step 2, seed-sized
     after; nothing is all-pairs (bounded by max_gram_df per gram), and
     island merging shuffles only matched seeds on (id_a, id_b, d)."""
-    from pyspark.sql import Window
-
-    words = F.split(F.trim(F.col(text_col)), " ")
-    tok0 = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(words).alias("p0", "w"),
-    ).filter(F.col("w") != "")
-    w0 = Window.partitionBy("doc_id").orderBy("p0")
-    tok = tok0.select(
-        "doc_id", (F.row_number().over(w0) - 1).alias("pos"), "w"
-    )
-    wl = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("w", j).over(wl) for j in range(1, min_len)]
-    grams = (
-        tok.select(
-            "doc_id",
-            "pos",
-            hash64_multi([F.col("w"), *leads], hash_fn, sep=" ").alias("h"),
-            leads[-1].isNotNull().alias("full"),
-        )
-        .filter("full")
-        .drop("full")
-    )
+    grams = _token_grams(df, min_len, text_col, id_col, hash_fn)
     rare = (
         grams.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("df_"))
@@ -903,25 +945,7 @@ def duplicate_passages(
             (F.col("pos_a") - F.col("pos_b")).alias("d"),
         )
     )
-    wi = Window.partitionBy("id_a", "id_b", "d").orderBy("pos_a")
-    isl = seeds.withColumn("grp", F.col("pos_a") - F.row_number().over(wi))
-    return (
-        isl.groupBy("id_a", "id_b", "d", "grp")
-        .agg(
-            F.min("pos_a").alias("a_start"),
-            F.max("pos_a").alias("a_end"),
-            F.min("pos_b").alias("b_start"),
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.col("a_start").cast("long").alias("a_start"),
-            F.col("b_start").cast("long").alias("b_start"),
-            (F.col("a_end") - F.col("a_start") + min_len)
-            .cast("long")
-            .alias("length"),
-        )
-    )
+    return _merge_islands(seeds, min_len)
 
 
 def cut_duplicate_passages(
@@ -989,4 +1013,54 @@ def cut_duplicate_passages(
         "n_kept",
         (F.col("n_orig") - F.col("n_kept")).alias("n_cut"),
         "clean_text",
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_df: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: find every maximal run of >=
+    ``min_len`` consecutive tokens a training document shares verbatim
+    with an evaluation-set string — the train/test-overlap check every
+    serious pretraining pipeline runs (GPT-3 appendix C, The Pile,
+    FineWeb all report it). Returns (doc_id, bench_id, doc_start,
+    bench_start, length) spans; drop or cut the hits with
+    ``cut_duplicate_passages``-style filtering, or left_anti the doc
+    ids out entirely.
+
+    Scale shape: the corpus side streams its token grams ONCE (the
+    duplicate_passages front end); the benchmark side — small by nature
+    (thousands of eval strings vs billions of docs) — is BROADCAST, so
+    the match is a map-side hash join with no corpus shuffle beyond the
+    gram window; island merging shuffles only actual hits. No df cap is
+    needed: per-gram fanout is the contamination being measured."""
+    doc_g = _token_grams(df, min_len, text_col, id_col, hash_fn).select(
+        F.col("doc_id"), F.col("pos").alias("pos_a"), "h"
+    )
+    bench_g = _token_grams(
+        bench_df, min_len, bench_text_col, bench_id_col, hash_fn
+    ).select(
+        F.col("doc_id").alias("bench_id"), F.col("pos").alias("pos_b"), "h"
+    )
+    seeds = doc_g.join(F.broadcast(bench_g), "h").select(
+        "doc_id",
+        "bench_id",
+        "pos_a",
+        "pos_b",
+        (F.col("pos_a") - F.col("pos_b")).alias("d"),
+    )
+    spans = _merge_islands(seeds, min_len, a_id="doc_id", b_id="bench_id")
+    return spans.select(
+        "doc_id",
+        "bench_id",
+        F.col("a_start").alias("doc_start"),
+        F.col("b_start").alias("bench_start"),
+        "length",
     )

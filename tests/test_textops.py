@@ -193,6 +193,31 @@ def test_duplicate_passages(spark):
     assert all(r.length == 6 for r in uncapped)
 
 
+def test_decontaminate(spark):
+    """A doc containing an eval string verbatim is flagged with exact
+    span coordinates; clean docs are not; a partial (< min_len) overlap
+    does not flag."""
+    from pdf_parser_spark.functions import decontaminate
+
+    eval_str = "q1 q2 q3 q4 q5 q6"  # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "a b " + eval_str + " c d"),          # contains verbatim
+            (2, "clean doc with none of the eval tokens at all"),
+            (3, "x q1 q2 q3 y z w v"),                # only 3 shared toks
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, eval_str)], "bench_id long, text string"
+    )
+    hits = decontaminate(docs, bench, min_len=6).collect()
+    assert len(hits) == 1
+    h = hits[0]
+    assert (h.doc_id, h.bench_id, h.doc_start, h.bench_start, h.length) \
+        == (1, 100, 2, 0, 6)
+
+
 def test_domain_quota_sample(spark):
     """Quota is enforced per host, the winners are the md5-lottery
     minimizers (deterministic across engines/partitionings/re-runs),
