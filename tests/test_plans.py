@@ -187,3 +187,22 @@ def test_repetition_stats_partial_agg(spark):
     plan = plan_of(repetition_stats(docs))
     assert count_nodes(plan, "HashAggregate") >= 4  # partial+final pairs
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark side (small by nature) must be broadcast: the
+    corpus gram stream is map-side hash-joined, never shuffled on the
+    gram key."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.functions import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    plan = plan_of(decontaminate(docs, bench, min_len=8))
+    assert "BroadcastHashJoin" in plan
+    # no shuffle keyed by the gram hash: the only Exchanges are the
+    # doc_id/window and island-merge ones
+    assert "hashpartitioning(h" not in plan
