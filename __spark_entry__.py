@@ -1272,6 +1272,35 @@ FROM reb r JOIN orig o ON r.doc_id = o.doc_id
 )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal unigram fluency score (CCNet-style LM proxy
+    without an external model): per-doc mean corpus frequency of its
+    tokens (integer-exact) and mean log-probability (rounded; ln of
+    identical doubles on both engines). Rare-token-heavy docs score
+    low — the gibberish/OCR-noise signal."""
+    from pdf_parser_spark.functions import unigram_logprob_score
+
+    return unigram_logprob_score(_load(spark, sf_dir, "documents"))
+
+
+Q_UNIGRAM_LOGPROB_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(trim(text), ' '), w -> w <> ''))
+           AS w
+  FROM documents
+),
+freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM freq)
+SELECT doc_id,
+       count(*) AS n_tok,
+       CAST(sum(c) AS DOUBLE) / count(*) AS mean_token_df,
+       round(avg(ln(c * 1.0 / total)), 4) AS avg_logprob
+FROM tok JOIN freq USING (w) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (train/test overlap spans): the eval
     set is derived deterministically on BOTH engines — for every 17th
@@ -1849,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_passages": q_dup_passages,
         "cut_passages": q_cut_passages,
         "decontaminate": q_decontaminate,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -1898,4 +1928,5 @@ def oracle_sql() -> dict[str, str]:
         "dup_passages": Q_DUP_PASSAGES_ORACLE,
         "cut_passages": Q_CUT_PASSAGES_ORACLE,
         "decontaminate": Q_DECONTAMINATE_ORACLE,
+        "unigram_logprob": Q_UNIGRAM_LOGPROB_ORACLE,
     }

@@ -38,6 +38,7 @@ from .quality import (  # noqa: F401
     quality_metrics,
     redact_pii,
     repetition_stats,
+    unigram_logprob_score,
     winnow_fingerprints,
     winnow_overlap_pairs,
 )

@@ -381,3 +381,38 @@ def winnow_overlap_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style fluency proxy WITHOUT an external LM: score every
+    document by its tokens' corpus-internal unigram statistics. Low
+    ``avg_logprob`` (rare-token-heavy) flags gibberish/OCR noise/off-
+    vocabulary spam; the companion ``mean_token_df`` (mean corpus
+    frequency of the doc's tokens) carries the same signal with
+    INTEGER-exact arithmetic — use it where bit-stable cross-engine
+    comparison matters, and the log form where the classic
+    log-probability scale is wanted.
+
+    Scale: one explode + one groupBy(token) for the frequency table
+    (shuffle O(vocab)); the score join shuffles token-sized rows keyed
+    by token — a true stop-word hot key holds only that token's rows
+    and aggregates with map-side partial sums. No driver-side
+    collection: the corpus total rides in on a broadcast single-row
+    aggregate."""
+    words = F.split(F.trim(F.col(text_col)), " ")
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words).alias("w")
+    ).filter(F.col("w") != "")
+    freq = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    scored = tok.join(freq, "w").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        # sum of BIGINT counts is exact; the division happens once
+        (F.sum("c").cast("double") / F.count("*")).alias("mean_token_df"),
+        F.round(
+            F.avg(F.log(F.col("c").cast("double") / F.col("total"))), 4
+        ).alias("avg_logprob"),
+    )

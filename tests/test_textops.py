@@ -193,6 +193,34 @@ def test_duplicate_passages(spark):
     assert all(r.length == 6 for r in uncapped)
 
 
+def test_unigram_logprob_score(spark):
+    """Docs made of corpus-common tokens score higher (less negative)
+    than rare-token docs; mean_token_df is the exact integer mean."""
+    from pdf_parser_spark.functions import unigram_logprob_score
+
+    rows = [
+        (1, "the the the cat"),     # 'the' appears 4x corpus-wide
+        (2, "zyx qwv"),             # singletons
+    ]
+    out = {
+        r.doc_id: r
+        for r in unigram_logprob_score(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    # corpus: the x4 (3 here + 1 below? no other docs) -> the=3, cat=1,
+    # zyx=1, qwv=1; total=6
+    assert out[1].n_tok == 4
+    assert abs(out[1].mean_token_df - (3 + 3 + 3 + 1) / 4) < 1e-12
+    assert out[2].mean_token_df == 1.0
+    assert out[1].avg_logprob > out[2].avg_logprob
+    import math
+
+    assert abs(
+        out[2].avg_logprob - round(math.log(1 / 6), 4)
+    ) < 1e-9
+
+
 def test_decontaminate(spark):
     """A doc containing an eval string verbatim is flagged with exact
     span coordinates; clean docs are not; a partial (< min_len) overlap
