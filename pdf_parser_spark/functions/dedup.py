@@ -968,17 +968,24 @@ def cut_duplicate_passages(
     drops out entirely — full containment degenerates to document
     dedup, which is correct.
 
-    Scale: span->position explode is output-sized (positions inside
-    detected spans only); the cut is a left_anti on (doc_id, pos); the
-    rebuild is one groupBy(doc_id) whose array sort/join runs once per
-    OUTPUT document — the only higher-order functions in the plan, on
-    result-sized data, never in the per-token hot path."""
+    Scale: the expensive rebuild (token explode -> window renumber ->
+    left_anti -> groupBy collect_list) runs ONLY over documents that
+    actually lost a span — df is left_semi'd against the cut-doc ids
+    BEFORE tokenization. Untouched documents (the ~99% at corpus scale)
+    exit through a pure shuffle-free projection that reproduces the
+    rebuilt form exactly (trim + collapse space runs == split/drop-
+    empty/join for the space-tokenized contract). Span->position explode
+    is output-sized; the groupBy array sort/join runs once per CUT
+    document — the only higher-order functions in the plan, on
+    cut-slice data, never in the full-corpus hot path."""
     from pyspark.sql import Window
 
     if spans is None:
         spans = duplicate_passages(
             df, min_len, max_gram_df, text_col, id_col, hash_fn
         )
+    # cuts is consumed twice (cut-doc id derivation + the left_anti);
+    # checkpoint so the span pipeline executes once, not per consumer
     cuts = spans.select(
         F.col("id_b").alias("doc_id"),
         F.explode(
@@ -986,9 +993,16 @@ def cut_duplicate_passages(
                 F.col("b_start"), F.col("b_start") + F.col("length") - 1
             )
         ).alias("pos"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
+    cut_ids = cuts.select("doc_id").distinct()
+
+    # rebuild branch: ONLY the cut-doc slice is tokenized/renumbered
+    touched = df.join(
+        cut_ids.withColumnRenamed("doc_id", id_col), on=id_col,
+        how="left_semi",
+    )
     words = F.split(F.trim(F.col(text_col)), " ")
-    tok0 = df.select(
+    tok0 = touched.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(words).alias("p0", "w"),
     ).filter(F.col("w") != "")
@@ -996,7 +1010,16 @@ def cut_duplicate_passages(
     tok = tok0.select(
         "doc_id", (F.row_number().over(w0) - 1).cast("long").alias("pos"), "w"
     )
-    orig = tok.groupBy("doc_id").agg(F.count("*").alias("n_orig"))
+    # n_orig via the pure projection-count (spaces+1 on the collapsed
+    # form) — NOT a second pass over tok: that would duplicate the
+    # explode/window subtree in the plan
+    clean0 = F.regexp_replace(F.trim(F.col(text_col)), " +", " ")
+    n_tok0 = F.when(clean0 == "", F.lit(0)).otherwise(
+        F.length(clean0) - F.length(F.regexp_replace(clean0, " ", "")) + 1
+    )
+    orig = touched.select(
+        F.col(id_col).alias("doc_id"), n_tok0.cast("long").alias("n_orig")
+    )
     kept = tok.join(cuts, ["doc_id", "pos"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
@@ -1008,12 +1031,35 @@ def cut_duplicate_passages(
             " ",
         ).alias("clean_text"),
     )
-    return rebuilt.join(orig, "doc_id").select(
+    cut_out = rebuilt.join(orig, "doc_id").select(
         "doc_id",
-        "n_kept",
-        (F.col("n_orig") - F.col("n_kept")).alias("n_cut"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        (F.col("n_orig") - F.col("n_kept")).cast("long").alias("n_cut"),
         "clean_text",
     )
+
+    # pass-through branch: untouched docs never shuffle. The projection
+    # is byte-equal to the rebuild's space-join: trim then collapse runs
+    # of spaces (split-on-' ' drops empties; join-with-' ' restores
+    # single spacing). Zero-token docs vanish, as in the rebuild path.
+    clean = F.regexp_replace(F.trim(F.col(text_col)), " +", " ")
+    n_tok = F.when(clean == "", F.lit(0)).otherwise(
+        F.length(clean) - F.length(F.regexp_replace(clean, " ", "")) + 1
+    )
+    untouched = (
+        df.join(
+            cut_ids.withColumnRenamed("doc_id", id_col), on=id_col,
+            how="left_anti",
+        )
+        .select(
+            F.col(id_col).alias("doc_id"),
+            n_tok.cast("long").alias("n_kept"),
+            F.lit(0).cast("long").alias("n_cut"),
+            clean.alias("clean_text"),
+        )
+        .filter(F.col("n_kept") > 0)
+    )
+    return cut_out.unionByName(untouched)
 
 
 def decontaminate(

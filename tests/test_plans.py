@@ -189,6 +189,24 @@ def test_repetition_stats_partial_agg(spark):
     assert "partial_count" in plan or "partial" in plan.lower()
 
 
+def test_cut_passages_rebuilds_only_cut_slice(spark):
+    """The expensive rebuild subtree (token explode -> window renumber ->
+    collect_list reassembly) must be gated by a LeftSemi against the
+    cut-doc ids — at corpus scale ~99% of documents are untouched and
+    must exit via the pass-through projection (the Union branch with no
+    Window/Generate), never through a full-corpus token shuffle."""
+    from pdf_parser_spark.functions import cut_duplicate_passages
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(cut_duplicate_passages(docs, min_len=8, hash_fn="md5"))
+    assert "Union" in plan          # pass-through branch exists
+    assert "LeftSemi" in plan       # rebuild branch gated on cut ids
+    # exactly one Window (the rebuild renumber) and one Generate (the
+    # rebuild posexplode): neither appears in the pass-through branch
+    assert count_nodes(plan, "Window") == 1
+    assert count_nodes(plan, "Generate") == 1
+
+
 def test_decontaminate_broadcasts_benchmark(spark):
     """The benchmark side (small by nature) must be broadcast: the
     corpus gram stream is map-side hash-joined, never shuffled on the
