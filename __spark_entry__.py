@@ -1290,13 +1290,19 @@ WITH tok AS (
            AS w
   FROM documents
 ),
-freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tokc AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+  FROM tok GROUP BY doc_id, w
+),
+freq AS (SELECT w, CAST(sum(k) AS BIGINT) AS c FROM tokc GROUP BY w),
 tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM freq)
 SELECT doc_id,
-       count(*) AS n_tok,
-       CAST(sum(c) AS DOUBLE) / count(*) AS mean_token_df,
-       round(avg(ln(c * 1.0 / total)), 4) AS avg_logprob
-FROM tok JOIN freq USING (w) CROSS JOIN tot
+       CAST(sum(k) AS BIGINT) AS n_tok,
+       CAST(sum(k * c) AS DOUBLE) / CAST(sum(k) AS BIGINT)
+         AS mean_token_df,
+       round(sum(k * ln(c * 1.0 / total)) / CAST(sum(k) AS BIGINT), 4)
+         AS avg_logprob
+FROM tokc JOIN freq USING (w) CROSS JOIN tot
 GROUP BY doc_id
 """
 

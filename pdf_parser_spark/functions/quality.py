@@ -395,24 +395,36 @@ def unigram_logprob_score(
     comparison matters, and the log form where the classic
     log-probability scale is wanted.
 
-    Scale: one explode + one groupBy(token) for the frequency table
-    (shuffle O(vocab)); the score join shuffles token-sized rows keyed
-    by token — a true stop-word hot key holds only that token's rows
-    and aggregates with map-side partial sums. No driver-side
-    collection: the corpus total rides in on a broadcast single-row
-    aggregate."""
+    Scale: the token stream is pre-aggregated to (doc_id, w, k) BEFORE
+    the frequency join, so the join input is distinct-tokens-per-doc
+    rows, not raw token occurrences — a stop-word key carries one row
+    per document that contains it instead of one per occurrence (the
+    hot-key row count drops by the in-doc repeat factor, on top of AQE
+    skew-split). The frequency table itself is the same pre-agg rolled
+    up by token (shuffle O(vocab)); no driver-side collection — the
+    corpus total rides in on a broadcast single-row aggregate. Scores
+    are occurrence-weighted through the k multiplicity, value-identical
+    to the per-occurrence formulation."""
     words = F.split(F.trim(F.col(text_col)), " ")
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(words).alias("w")
     ).filter(F.col("w") != "")
-    freq = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tokc = tok.groupBy("doc_id", "w").agg(F.count("*").alias("k"))
+    freq = tokc.groupBy("w").agg(F.sum("k").alias("c"))
     total = freq.agg(F.sum("c").alias("total"))
-    scored = tok.join(freq, "w").crossJoin(F.broadcast(total))
+    scored = tokc.join(freq, "w").crossJoin(F.broadcast(total))
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_tok"),
-        # sum of BIGINT counts is exact; the division happens once
-        (F.sum("c").cast("double") / F.count("*")).alias("mean_token_df"),
+        F.sum("k").alias("n_tok"),
+        # sums of BIGINT counts are exact; the division happens once
+        (
+            F.sum(F.col("k") * F.col("c")).cast("double") / F.sum("k")
+        ).alias("mean_token_df"),
         F.round(
-            F.avg(F.log(F.col("c").cast("double") / F.col("total"))), 4
+            F.sum(
+                F.col("k")
+                * F.log(F.col("c").cast("double") / F.col("total"))
+            )
+            / F.sum("k"),
+            4,
         ).alias("avg_logprob"),
     )

@@ -86,12 +86,17 @@ def domain_quota_sample(
     engine/partitioning/resume stable — the same doc wins on every
     engine and every re-run, like stratified_sample.
 
-    Scale: one window over (host) — shuffle keyed by host. A viral host
-    IS a hot key here, but its partition holds only that host's rows
-    and the window computes a streaming row_number, so the cost is one
-    pass over the hot partition, not a quadratic blowup; AQE skew-join
-    handling does not apply, so for truly pathological hosts pre-filter
-    with a per-partition approximate cap first."""
+    Scale — two-phase quota, hot-host safe: a viral host would
+    otherwise land its ENTIRE row set in the one reducer that owns its
+    key in the final window. Phase 1 ranks within (host, input
+    partition) — the window key carries spark_partition_id(), so a hot
+    host spreads over as many reducers as it had input partitions — and
+    keeps only each partition's ``quota`` best rows. That bounds any
+    host to quota * n_input_partitions rows entering phase 2's
+    per-host window. The output is IDENTICAL to the one-phase form:
+    the lottery order is total, and every global winner is by
+    definition among its own partition's top-``quota`` for its host, so
+    phase 1 never drops a winner."""
     from pyspark.sql import Window
 
     from .hashing import hash64
@@ -103,11 +108,34 @@ def domain_quota_sample(
         "md5",
     )
     host = url_host(F.col(url_col))
+    pre = _per_partition_host_cap(
+        df.withColumn("host", host).withColumn("lottery", lottery),
+        quota,
+        id_col,
+    )
     w = Window.partitionBy("host").orderBy("lottery", id_col)
     return (
-        df.withColumn("host", host)
-        .withColumn("lottery", lottery)
-        .withColumn("host_rank", F.row_number().over(w))
+        pre.withColumn("host_rank", F.row_number().over(w))
         .filter(F.col("host_rank") <= quota)
         .drop("lottery", "host_rank")
+    )
+
+
+def _per_partition_host_cap(
+    df: DataFrame, quota: int, id_col: str
+) -> DataFrame:
+    """Phase-1 pre-cap: keep each input partition's ``quota`` best
+    (lottery, id) rows per host. The window partitions on
+    (host, spark_partition_id()), so the exchange it induces is keyed by
+    the SALTED pair — a hot host's rows split across reducers instead of
+    converging on one. Exposed separately so the skew test can assert
+    the bound on phase 2's input directly."""
+    from pyspark.sql import Window
+
+    w_pre = Window.partitionBy("host", "_pid").orderBy("lottery", id_col)
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pp_rank", F.row_number().over(w_pre))
+        .filter(F.col("_pp_rank") <= quota)
+        .drop("_pid", "_pp_rank")
     )

@@ -100,9 +100,15 @@ def decode_pages(df: DataFrame) -> DataFrame:
                     continue
                 try:
                     pages = raster.decode(blob)
-                    images = raster.decode_images(blob)
                 except raster.RasterError:
                     continue
+                try:
+                    images = raster.decode_images(blob)
+                except raster.RasterError:
+                    # a corrupt OPTIONAL IMGS section must not drop the
+                    # document's valid pages — pages carry empty image
+                    # lists instead (round-2 ADVICE)
+                    images = {}
                 for i, p in enumerate(pages, start=1):
                     h, w = p.shape
                     out.append(

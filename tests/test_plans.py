@@ -189,6 +189,20 @@ def test_repetition_stats_partial_agg(spark):
     assert "partial_count" in plan or "partial" in plan.lower()
 
 
+def test_unigram_logprob_preagg_before_join(spark):
+    """The frequency join must consume (doc_id, w, k) pre-aggregated
+    rows, never raw token occurrences: a stop-word join key then holds
+    one row per containing document instead of one per occurrence. The
+    (doc_id, w) partial-count aggregate is that pre-agg's signature —
+    it exists ONLY as the join input."""
+    from pdf_parser_spark.functions import unigram_logprob_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(unigram_logprob_score(docs))
+    assert re.search(r"Keys \[2\]: \[doc_id#\d+L?, w#\d+\]", plan)
+    assert "partial_count" in plan  # map-side combine before its exchange
+
+
 def test_cut_passages_rebuilds_only_cut_slice(spark):
     """The expensive rebuild subtree (token explode -> window renumber ->
     collect_list reassembly) must be gated by a LeftSemi against the

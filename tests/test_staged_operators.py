@@ -105,3 +105,31 @@ def test_decode_pages_carries_embedded_images(spark):
     assert [(i.idx,) for i in got[("rstr://imgs", 2)]] == [(0,)]
     assert list(got[("rstr://plain", 1)]) == []
     assert list(got[("rstr://plain", 2)]) == []
+
+
+def test_decode_pages_corrupt_imgs_section_keeps_pages(spark):
+    """A corrupt OPTIONAL IMGS section must not drop the document's
+    valid pages in the staged path: decode_images fails alone and the
+    pages come through with empty image lists (round-2 ADVICE item)."""
+    import numpy as np
+
+    from pdf_parser_spark import schemas
+    from pdf_parser_spark.kernels import raster
+
+    pg = [np.full((20, 30), 255, dtype=np.uint8) for _ in range(2)]
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    blob = raster.encode(pg, images=[(1, img)])
+    corrupt = blob[:-5]  # truncate inside the trailing image pixels
+    # sanity: pages decode, image section raises
+    assert len(raster.decode(corrupt)) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(raster.RasterError):
+        raster.decode_images(corrupt)
+
+    df = spark.createDataFrame(
+        [("rstr://badimgs", None, corrupt, "", "en")], schemas.INPUT
+    )
+    rows = decode_pages(df).collect()
+    assert sorted(r.page_no for r in rows) == [1, 2]
+    assert all(list(r.images) == [] for r in rows)

@@ -289,6 +289,63 @@ def test_domain_quota_sample(spark):
     assert out2 == {r.doc_id for r in out}
 
 
+def test_domain_quota_two_phase_hot_host(spark):
+    """Hot-host mitigation: with one host owning 50% of the corpus, the
+    phase-1 per-partition cap must bound that host's rows entering the
+    final per-host window at quota * n_input_partitions — and the
+    two-phase output must equal the one-phase golden exactly (the
+    lottery order is total, so phase 1 never drops a global winner)."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.functions.hashing import hash64
+    from pdf_parser_spark.functions.urlops import (
+        _per_partition_host_cap,
+        domain_quota_sample,
+        url_host,
+    )
+
+    n, quota = 2000, 5
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 2 == 0, F.lit("https://big.example/p")
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://h"),
+                (F.col("id") % 50).cast("string"),
+                F.lit(".example/p"),
+            )
+        )
+        .alias("url"),
+    ).repartition(8)
+
+    pre = base.withColumn("host", url_host(F.col("url"))).withColumn(
+        "lottery",
+        hash64(
+            F.concat(F.lit("s0:"), F.col("doc_id").cast("string")), "md5"
+        ),
+    )
+    capped = _per_partition_host_cap(pre, quota=quota, id_col="doc_id")
+    nparts = pre.rdd.getNumPartitions()
+    hot_in = capped.filter(F.col("host") == "big.example").count()
+    assert hot_in <= quota * nparts          # phase-2 input bounded
+    assert hot_in < n // 2                   # actually mitigated
+
+    # identical output to the one-phase golden (python replica)
+    rows = pre.select("doc_id", "host", "lottery").collect()
+    per_host: dict = {}
+    for r in rows:
+        per_host.setdefault(r.host, []).append((r.lottery, r.doc_id))
+    golden = {
+        d
+        for hs in per_host.values()
+        for _, d in sorted(hs)[:quota]
+    }
+    got = {r.doc_id for r in domain_quota_sample(base, quota=quota).collect()}
+    assert got == golden
+
+
 def test_cut_duplicate_passages(spark):
     """The higher-id doc loses the shared span; the min-id doc keeps
     its copy verbatim; untouched docs round-trip byte-identically; a
