@@ -116,6 +116,26 @@ def _eager_kernel_output(df: DataFrame, batch_rows: int = 4096) -> DataFrame:
             spark.conf.set(key, old)
 
 
+def _lf_dot_rows(V, p):
+    """Per-row dot of matrix ``V`` with vector ``p`` as a SEQUENTIAL
+    left fold (np.add.accumulate — the exact IEEE op sequence of the
+    pure-Python per-element fold the VALUES-oracle replica runs, and of
+    Spark's unrolled codegen sums). BLAS matmul / ndarray.sum use
+    blocked or pairwise summation whose low bits depend on batch shape:
+    near-tie dots could then flip bucket bits or list assignments
+    between the engine and the replica (round-3 ADVICE)."""
+    import numpy as np
+
+    return np.add.accumulate(V * p[None, :], axis=1)[:, -1]
+
+
+def _lf_sq_rows(V):
+    """Sequential left-fold row squared-norms (see _lf_dot_rows)."""
+    import numpy as np
+
+    return np.add.accumulate(V * V, axis=1)[:, -1]
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic signed-random-projection hyperplanes (host-side
     constants baked into the plan as literals)."""
@@ -132,11 +152,14 @@ def _make_lsh_code_kernel(
     out_id: str,
 ):
     """Arrow-batched kernel: per row emit (id, vec, L2 norm, one packed
-    SRP code per table). The bucket math lives in numpy (one matmul per
-    table), NOT in unrolled expressions — n_tables * n_planes * dim
-    literal terms stall Catalyst canonicalization and fall past Janino's
-    method limit (the embedding_near_dup lesson). The oracle replica
-    reruns the same numpy ops for bit-identical codes."""
+    SRP code per table). The bucket math lives in numpy vector ops, NOT
+    in unrolled expressions — n_tables * n_planes * dim literal terms
+    stall Catalyst canonicalization and fall past Janino's method limit
+    (the embedding_near_dup lesson). Every dot/norm is a SEQUENTIAL
+    left fold (_lf_dot_rows), bit-identical to the pure-Python
+    VALUES-oracle replica regardless of Arrow batch shape — a BLAS
+    matmul's blocked summation would differ in the low bits and could
+    flip near-tie sign bits between engine and replica."""
 
     def code(batches):
         import numpy as np
@@ -144,9 +167,6 @@ def _make_lsh_code_kernel(
 
         Ps = [np.array(p, dtype=np.float64) for p in planes_per_table]
         n_tables = len(Ps)
-        weights = [
-            (1 << np.arange(P.shape[0], dtype=np.int64)) for P in Ps
-        ]
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -155,10 +175,13 @@ def _make_lsh_code_kernel(
             )
             out = pd.DataFrame({out_id: pdf[id_col].values})
             out["vec"] = list(pdf[vec_col])
-            out["nrm"] = np.sqrt((V * V).sum(axis=1))
+            out["nrm"] = np.sqrt(_lf_sq_rows(V))
             for t in range(n_tables):
-                bits = (V @ Ps[t].T) > 0
-                out[f"b_{t}"] = (bits * weights[t]).sum(axis=1)
+                code_t = np.zeros(len(V), dtype=np.int64)
+                for i in range(Ps[t].shape[0]):
+                    bit = (_lf_dot_rows(V, Ps[t][i]) > 0).astype(np.int64)
+                    code_t |= bit << np.int64(i)
+                out[f"b_{t}"] = code_t
             yield out
 
     return code
@@ -201,12 +224,14 @@ def _make_ivf_assign_kernel(
 ):
     """Arrow-batched kernel: per row emit (id, vec, L2 norm, the ``n``
     nearest list ids by squared L2 distance, ties to the LOWER list id).
-    One ``V @ C.T`` matmul per batch replaces nlist * dim unrolled
-    literal terms per row — the expression form stalls Catalyst
-    canonicalization and overflows Janino (the embedding_near_dup
-    lesson). Distance grouping mirrors the oracle replica:
-    ``(v.v - 2 v.c) + c.c``; argsort is stable so equal distances pick
-    the lower list id, same as sorting (d2, list_id) structs."""
+    Numpy vector ops per centroid replace nlist * dim unrolled literal
+    terms per row — the expression form stalls Catalyst canonicalization
+    and overflows Janino (the embedding_near_dup lesson). Every dot is a
+    SEQUENTIAL left fold (_lf_dot_rows), so distances are bit-identical
+    to the pure-Python replica whatever the Arrow batch shape; distance
+    grouping mirrors the replica: ``(v.v - 2 v.c) + c.c``; argsort is
+    stable so equal distances pick the lower list id, same as sorting
+    (d2, list_id) structs."""
 
     def assign(batches):
         import numpy as np
@@ -222,8 +247,11 @@ def _make_ivf_assign_kernel(
             V = np.vstack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            dvv = (V * V).sum(axis=1)
-            d2 = (dvv[:, None] - 2.0 * (V @ C.T)) + c_sq[None, :]
+            dvv = _lf_sq_rows(V)
+            vc = np.column_stack(
+                [_lf_dot_rows(V, C[li]) for li in range(C.shape[0])]
+            )
+            d2 = (dvv[:, None] - 2.0 * vc) + c_sq[None, :]
             near = np.argsort(d2, axis=1, kind="stable")[:, :n]
             out = pd.DataFrame({out_id: pdf[id_col].values})
             out["vec"] = list(pdf[vec_col])
@@ -464,6 +492,50 @@ def _make_q8_kernel(id_col: str, vec_col: str, out_id: str):
     return quantize
 
 
+def _q8_kernel_score(c: DataFrame, qy: DataFrame) -> DataFrame:
+    """Score path for dim > 64: collect the (small) query-code side to
+    the driver — the same size class the codegen path broadcasts — and
+    ship it in the kernel closure; each corpus Arrow batch then does ONE
+    exact int64 matmul against all queries. Integer addition is
+    associative, so these dots equal the unrolled-expression dots
+    bit-for-bit; no >64-term Add chain ever reaches Janino."""
+    q_rows = qy.collect()
+    q_ids = [int(r["query_id"]) for r in q_rows]
+    q_codes = [list(r["qq"]) for r in q_rows]
+    q_norms = [float(r["qn"]) for r in q_rows]
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.array(q_codes, dtype=np.int64)
+        qi = np.array(q_ids, dtype=np.int64)
+        qn = np.array(q_norms, dtype=np.float64)
+        m = len(qi)
+        for pdf in batches:
+            if not len(pdf) or not m:
+                continue
+            C = np.vstack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["cq"]]
+            )
+            dots = C @ Q.T  # integer matmul: exact, no float rounding
+            cn = pdf["cn"].to_numpy(dtype=np.float64)
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cos = dots.astype(np.float64) / (cn[:, None] * qn[None, :])
+            out = pd.DataFrame(
+                {
+                    "query_id": np.tile(qi, len(nid)),
+                    "neighbor_id": np.repeat(nid, m),
+                    "cosine": cos.ravel(),
+                }
+            )
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    return c.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+
+
 def q8_cosine_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -483,7 +555,15 @@ def q8_cosine_topk(
 
     Fully deterministic (rint is IEEE round-half-even on both numpy and
     the oracle replica; integer dots are exact), so VALUES-oracle
-    checkable like the other ANN paths."""
+    checkable like the other ANN paths.
+
+    dim <= 64 scores through a flat unrolled codegen expression; larger
+    dims would build ONE >64-term Add chain — exactly the Janino /
+    Catalyst-canonicalization ceiling (CLAUDE.md) — so they score inside
+    an Arrow kernel instead: the (small, collected) query code matrix
+    ships in the closure and each corpus batch does one exact int64
+    matmul. Integer addition is associative, so the kernel dots equal
+    the unrolled-expression dots bit-for-bit."""
     c = _eager_kernel_output(
         df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
             _make_q8_kernel(id_col, vec_col, "nid"),
@@ -504,26 +584,30 @@ def q8_cosine_topk(
         F.col("q").alias("qq"),
         F.col("qn").alias("qn"),
     )
-    # exact integer dot, unrolled to flat codegen (HOFs are interpreted)
-    terms = [
-        F.element_at("qq", i + 1).cast("long")
-        * F.element_at("cq", i + 1).cast("long")
-        for i in range(dim)
-    ]
-    idot = terms[0]
-    for t in terms[1:]:
-        idot = idot + t
-    scored = (
-        c.crossJoin(F.broadcast(qy))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                idot.cast("double") / (F.col("qn") * F.col("cn"))
-            ).alias("cosine"),
+    if dim <= 64:
+        # exact integer dot, unrolled to flat codegen (HOFs are
+        # interpreted); one tree stays under the ~64-term ceiling
+        terms = [
+            F.element_at("qq", i + 1).cast("long")
+            * F.element_at("cq", i + 1).cast("long")
+            for i in range(dim)
+        ]
+        idot = terms[0]
+        for t in terms[1:]:
+            idot = idot + t
+        scored = (
+            c.crossJoin(F.broadcast(qy))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (
+                    idot.cast("double") / (F.col("qn") * F.col("cn"))
+                ).alias("cosine"),
+            )
         )
-    )
+    else:
+        scored = _q8_kernel_score(c, qy)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

@@ -452,6 +452,40 @@ def test_ann_scale_paths_recall_floor(spark):
     assert len(lsh & exact) / len(exact) >= 0.25, (len(lsh & exact), len(exact))
 
 
+def test_q8_wide_dim_kernel_path_matches_codegen(spark):
+    """dim > 64 scores in an Arrow kernel (one int64 matmul per batch)
+    instead of a >64-term unrolled Add chain (the Janino ceiling).
+    Zero-padding 64-dim vectors to 80 leaves the quantization scale,
+    the int8 codes, the integer dots, and the norms unchanged (every
+    intermediate is an exact integer in double), so the 80-dim kernel
+    path must reproduce the 64-dim codegen path row-for-row —
+    bit-identical cosines, same ranks."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.functions import q8_cosine_topk
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(200)
+    pad = F.concat(
+        F.col("embedding"),
+        F.array(*[F.lit(0.0).cast("float") for _ in range(16)]),
+    )
+    wide = emb.withColumn("embedding", pad)
+    q64 = emb.filter(F.col("vec_id") < 8)
+    q80 = wide.filter(F.col("vec_id") < 8)
+
+    narrow = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in q8_cosine_topk(emb, q64, k=5, dim=64).collect()
+    )
+    kernel = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in q8_cosine_topk(wide, q80, k=5, dim=80).collect()
+    )
+    assert kernel == narrow
+
+
 def test_embedding_near_dup(docs):
     from pdf_parser_spark.functions import embedding_near_dup, hashed_bow_embedding
 
