@@ -26,6 +26,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 from dataclasses import dataclass, field
 
@@ -48,6 +50,11 @@ class CurationResult:
 
     curated: DataFrame
     audit: dict[str, DataFrame] = field(default_factory=dict)
+    # post-filter, post-dedup, PRE-sampling docs — what "deduped
+    # survivor count" actually means whatever combination of optional
+    # stages ran (the job's stdout contract counts this directly
+    # instead of deriving it from the quality keep count)
+    survivors: DataFrame | None = None
 
 
 def curate(
@@ -71,19 +78,51 @@ def curate(
 
     With ``materialize_dir`` set, each stage output lands in
     ``<dir>/<stage>/`` and a re-run SKIPS stages whose ``_SUCCESS``
-    marker exists (parquet-level resume; delete a stage dir to force
-    recompute from that point). ``hash_fn='md5'`` selects the
+    marker exists AND whose ``_PARAMS.json`` fingerprint (stage params
+    + full upstream lineage) matches the current call — a changed
+    parameter recomputes exactly the stages it can affect. Delete a
+    stage dir to force recompute from that point. ``hash_fn='md5'``
+    selects the
     cross-engine hash so a DuckDB replica can verify the whole
     composition (the contract variant); production default is
     xxhash64."""
     spark = df.sparkSession
 
-    def mat(d: DataFrame, name: str) -> DataFrame:
+    # Cumulative stage fingerprint: each mat() folds (stage name, the
+    # params that shape THAT stage) onto everything upstream, so a
+    # stage's _PARAMS.json pins both its own knobs and its whole input
+    # lineage. Resume reuses a stage only when _SUCCESS exists AND the
+    # fingerprint matches — re-running the same --output with a changed
+    # --threshold recomputes pairs/clusters/curated but still reuses
+    # quality/pii (round-3 ADVICE: marker-only resume silently reused
+    # stale outputs computed under old parameters).
+    chain = hashlib.sha256()
+
+    def mat(d: DataFrame, name: str, params: dict | None = None) -> DataFrame:
+        chain.update(
+            json.dumps([name, params or {}], sort_keys=True).encode()
+        )
         if materialize_dir is None:
             return d
+        digest = chain.hexdigest()[:16]
         path = os.path.join(materialize_dir, name)
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        pfile = os.path.join(path, "_PARAMS.json")
+        fresh = os.path.exists(os.path.join(path, "_SUCCESS"))
+        if fresh:
+            try:
+                with open(pfile) as f:
+                    fresh = json.load(f).get("fingerprint") == digest
+            except (OSError, ValueError):
+                fresh = False  # legacy/unreadable manifest: recompute
+        if not fresh:
             d.write.mode("overwrite").parquet(path)
+            with open(pfile, "w") as f:
+                json.dump(
+                    {"stage": name, "fingerprint": digest,
+                     "params": params or {}},
+                    f,
+                    sort_keys=True,
+                )
         return spark.read.parquet(path)
 
     audit: dict[str, DataFrame] = {}
@@ -95,7 +134,9 @@ def curate(
             F.col("keeper_id").alias(id_col)
         )
         df = mat(
-            df.join(keepers, on=id_col, how="left_semi"), "url_kept"
+            df.join(keepers, on=id_col, how="left_semi"),
+            "url_kept",
+            {"url_col": url_col, "id_col": id_col},
         )
         if host_quota is not None:
             df = mat(
@@ -103,12 +144,14 @@ def curate(
                     df, quota=host_quota, url_col=url_col, id_col=id_col
                 ).drop("host"),
                 "host_quota",
+                {"quota": host_quota},
             )
 
     # 1. quality filter (audit keeps the reasons for every doc)
     quality = mat(
         gopher_quality_filter(df, text_col=text_col, id_col=id_col),
         "quality",
+        {"text_col": text_col, "id_col": id_col},
     )
     audit["quality"] = quality
     kept = df.join(
@@ -135,7 +178,9 @@ def curate(
 
     # 2. PII redaction — text is replaced by clean_text from here on,
     #    so dedup fingerprints the text that would actually be trained on
-    red = mat(redact_pii(kept, text_col=text_col, id_col=id_col), "pii")
+    red = mat(
+        redact_pii(kept, text_col=text_col, id_col=id_col), "pii"
+    )
     audit["pii"] = red.select("doc_id", "n_emails", "n_ips", "n_phones")
     docs = mat(
         kept.drop(text_col).join(
@@ -162,6 +207,8 @@ def curate(
             hash_fn=hash_fn,
         ),
         "pairs",
+        {"num_perm": num_perm, "bands": bands, "n": n,
+         "threshold": threshold, "hash_fn": hash_fn},
     )
     clusters = mat(dedup_clusters(pairs), "clusters")
     audit["clusters"] = clusters
@@ -181,5 +228,7 @@ def curate(
             id_col=id_col,
         ),
         "curated",
+        {"rates": rates, "strata_col": strata_col,
+         "default_pct": default_pct},
     )
-    return CurationResult(curated=curated, audit=audit)
+    return CurationResult(curated=curated, audit=audit, survivors=survivors)

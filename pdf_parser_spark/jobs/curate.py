@@ -8,8 +8,11 @@ runnable artifact (companion to jobs/extract.py):
 Pipeline: [url_dedup] -> gopher_quality_filter -> redact_pii ->
 minhash_lsh -> dedup_clusters -> stratified_sample. Every stage
 materializes under ``<output>/stages/<name>/`` — re-running with the
-same --output RESUMES from the first stage without a ``_SUCCESS``
-marker (delete a stage dir to force recompute from that point).
+same --output RESUMES: a stage is reused only when its ``_SUCCESS``
+marker exists and its ``_PARAMS.json`` fingerprint (own params + full
+upstream lineage) matches the current flags, so changing e.g.
+--threshold recomputes pairs/clusters/curated but reuses quality/pii
+(delete a stage dir to force recompute from that point).
 Audit tables (quality reasons, PII counts, cluster assignments) stay
 next to the output; the final table lands in ``<output>/stages/curated``.
 
@@ -78,13 +81,15 @@ def main(argv: list[str] | None = None) -> int:
         )
         curated = res.curated.count()
         kept = res.audit["quality"].filter("keep").count()
-        dupes = res.audit["clusters"].filter(
-            "doc_id <> cluster_id"
-        ).count()
+        # survivor count is measured directly on the post-all-filters,
+        # post-dedup relation — deriving it as kept - dupes overstates
+        # it whenever --repetition-filter / --url-col / --host-quota
+        # stages also dropped rows (round-3 ADVICE)
+        deduped = res.survivors.count()
         secs = time.monotonic() - t0
         print(
             f"run_id={args.run_id} docs_in={docs_in} kept={kept} "
-            f"deduped={kept - dupes} curated={curated} "
+            f"deduped={deduped} curated={curated} "
             f"secs={secs:.2f} docs_per_sec={docs_in / max(secs, 1e-9):.1f}"
         )
         return 0

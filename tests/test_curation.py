@@ -138,3 +138,20 @@ def test_curate_cli_and_resume(spark, tmp_path):
     assert stats2["curated"] == stats["curated"]
     for s in stages:
         assert os.path.getmtime(f"{out}/stages/{s}/_SUCCESS") == mtimes[s], s
+
+    # changed parameter -> the _PARAMS fingerprint invalidates exactly
+    # the stages it can affect: pairs/clusters/curated recompute,
+    # quality/pii/redacted resume untouched (marker-only resume used to
+    # silently reuse stale outputs computed under the old threshold)
+    buf3 = io.StringIO()
+    with contextlib.redirect_stdout(buf3):
+        rc = main([
+            "--input", f"{SF_DIR}/documents.parquet",
+            "--output", out, "--run-id", "c3",
+            "--threshold", "0.9",
+        ])
+    assert rc == 0
+    for s in ["quality", "pii", "redacted"]:
+        assert os.path.getmtime(f"{out}/stages/{s}/_SUCCESS") == mtimes[s], s
+    for s in ["pairs", "clusters", "curated"]:
+        assert os.path.getmtime(f"{out}/stages/{s}/_SUCCESS") > mtimes[s], s
