@@ -1041,16 +1041,21 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rule-based language id (functions/quality.py): CJK -> zh, else
-    argmax of per-language stopword-type hits, ties to the greatest
-    language code (the struct-max tie-break)."""
+    """Rule-based language id (functions/quality.py): script-dominant
+    tier (SCRIPT_LANGS priority order, codepoint-share thresholds),
+    else argmax of per-language stopword-type hits over the 12 Latin
+    STOPWORDS inventories, ties to the greatest language code (the
+    struct-max tie-break)."""
     from pdf_parser_spark.functions import language_id
 
     return language_id(_load(spark, sf_dir, "documents"))
 
 
 def _mk_language_id_oracle() -> str:
-    from pdf_parser_spark.functions.quality import STOPWORDS
+    """DuckDB replica of language_id, generated from the SAME
+    STOPWORDS/SCRIPT_LANGS constants the Spark side uses — one source
+    of truth for the rule set (quality.py:95)."""
+    from pdf_parser_spark.functions.quality import SCRIPT_LANGS, STOPWORDS
 
     def lst(lang):
         return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
@@ -1059,27 +1064,46 @@ def _mk_language_id_oracle() -> str:
         f"len(list_intersect(words, {lst(lang)})) AS h_{lang}"
         for lang in sorted(STOPWORDS)
     )
-    # ties go to the lexicographically greatest language code — the
-    # Spark side's array_max over (hits, lang) structs
+    all_h = ", ".join(f"h_{lang}" for lang in sorted(STOPWORDS))
+    # script tier: same priority order and thresholds as SCRIPT_LANGS;
+    # ranges re-emitted as \x{...} escapes (RE2 syntax) from the same
+    # literal character ranges Spark compiles
+    script_whens = "\n            ".join(
+        "WHEN CAST(length(regexp_replace(text, "
+        f"'[^\\x{{{ord(rng[0]):x}}}-\\x{{{ord(rng[2]):x}}}]', '', 'g')) "
+        f"AS DOUBLE) / n_nonspace >= {thresh!r} THEN '{lang}'"
+        for lang, rng, thresh in SCRIPT_LANGS
+    )
+    # stopword argmax: ties go to the lexicographically greatest
+    # language code — the Spark side's array_max over (hits, lang)
+    # structs — so test langs in DESCENDING code order
+    argmax_whens = "\n            ".join(
+        f"WHEN h_{lang} = maxh THEN '{lang}'"
+        for lang in sorted(STOPWORDS, reverse=True)[:-1]
+    )
+    last = sorted(STOPWORDS)[0]
     return f"""
 WITH w AS (
   SELECT doc_id, text,
-         list_distinct(string_split(lower(trim(text)), ' ')) AS words
+         list_distinct(string_split(lower(trim(text)), ' ')) AS words,
+         greatest(length(regexp_replace(text, '\\s', '', 'g')), 1)
+           AS n_nonspace
   FROM documents
 ),
 h AS (
-  SELECT doc_id, text,
+  SELECT doc_id, text, n_nonspace,
          {hits}
   FROM w
+),
+m AS (
+  SELECT *, greatest({all_h}) AS maxh FROM h
 )
 SELECT doc_id,
-       CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
-            WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
-            WHEN h_fr >= h_en AND h_fr >= h_es AND h_fr >= h_de THEN 'fr'
-            WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
-            WHEN h_en >= h_de THEN 'en'
-            ELSE 'de' END AS lang_pred
-FROM h
+       CASE {script_whens}
+            WHEN maxh = 0 THEN 'und'
+            {argmax_whens}
+            ELSE '{last}' END AS lang_pred
+FROM m
 """
 
 

@@ -6,12 +6,55 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Function-word inventories for the Latin-script language-id path
+# (~16 most-frequent words each, public knowledge). Shared words
+# ("de" in es/fr/pt/nl, "la" in es/fr/it) are real ambiguity the
+# argmax resolves; each word counts once (distinct-type intersect).
 STOPWORDS = {
-    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
-    "fr": ["le", "la", "et", "de", "un", "une", "est", "que"],
-    "es": ["el", "la", "y", "de", "un", "una", "es", "que"],
-    "de": ["der", "die", "und", "das", "ein", "ist", "zu", "den"],
+    "de": ["der", "die", "und", "das", "ein", "ist", "zu", "den",
+           "von", "nicht", "mit", "sich", "auf", "für", "als", "im"],
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that",
+           "it", "was", "for", "with", "as", "his", "on", "be"],
+    "es": ["el", "la", "los", "las", "y", "de", "un", "una",
+           "es", "que", "en", "por", "con", "para", "su", "al"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est",
+           "que", "pour", "dans", "qui", "pas", "sur", "avec", "au"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak",
+           "ini", "dari", "dalam", "akan", "pada", "juga", "saya",
+           "ke", "bisa"],
+    "it": ["il", "la", "di", "e", "che", "un", "una", "per",
+           "non", "sono", "con", "del", "si", "da", "come", "più"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "te", "dat",
+           "die", "in", "is", "niet", "met", "zijn", "op", "voor"],
+    "pl": ["i", "w", "nie", "na", "się", "że", "do", "jest",
+           "z", "to", "co", "jak", "po", "ale", "czy", "już"],
+    "pt": ["o", "os", "as", "de", "e", "que", "um", "uma",
+           "para", "não", "com", "do", "da", "em", "se", "mais"],
+    "ro": ["și", "de", "la", "cu", "un", "o", "în", "este",
+           "pe", "nu", "se", "din", "mai", "ca", "să", "pentru"],
+    "sv": ["och", "att", "det", "som", "en", "på", "är", "av",
+           "för", "med", "den", "till", "inte", "om", "han", "var"],
+    "tr": ["bir", "ve", "bu", "için", "ne", "gibi", "çok",
+           "daha", "ama", "ile", "mi", "ben", "sen", "biz",
+           "değil", "kadar"],
 }
+
+# Script-dominant languages, decided BEFORE the stopword argmax by the
+# ratio of in-script codepoints to non-whitespace codepoints. Order is
+# the decision priority and is part of the contract (kana before CJK:
+# Japanese text is majority kanji, so any meaningful kana presence
+# wins; everything else needs script dominance).
+SCRIPT_LANGS = [
+    ("ko", "가-힣", 0.30),  # Hangul syllables
+    ("ja", "぀-ヿ", 0.05),  # Hiragana + Katakana
+    ("zh", "一-鿿", 0.30),  # CJK unified ideographs
+    ("ru", "Ѐ-ӿ", 0.30),  # Cyrillic
+    ("el", "Ͱ-Ͽ", 0.30),  # Greek
+    ("he", "֐-׿", 0.30),  # Hebrew
+    ("ar", "؀-ۿ", 0.30),  # Arabic
+    ("hi", "ऀ-ॿ", 0.30),  # Devanagari
+    ("th", "฀-๿", 0.30),  # Thai
+]
 
 
 def quality_metrics(
@@ -52,11 +95,23 @@ def quality_metrics(
 def language_id(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Rule-based language id: CJK codepoints -> zh; otherwise argmax of
-    per-language stopword-type hits (deterministic tie-break by language
-    code). A real pipeline swaps in fastText — the operator shape
-    (per-row classify, no shuffle) is identical."""
-    words = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), " "))
+    """Rule-based language id over 21 languages, two tiers:
+
+    1. script-dominant tier (``SCRIPT_LANGS``, in priority order):
+       first script whose codepoint share of non-whitespace characters
+       clears its threshold wins (kana before CJK so Japanese — which
+       is majority kanji — is not swallowed by zh);
+    2. Latin tier: argmax of per-language stopword-TYPE hits over the
+       12 ``STOPWORDS`` inventories (deterministic tie-break to the
+       greatest language code via struct-max); zero hits -> ``und``.
+
+    Everything is a single codegen projection — no shuffle, no UDF —
+    and the DuckDB oracle is generated from the SAME constants
+    (__spark_entry__._mk_language_id_oracle), so the rule set has one
+    source of truth. A production pipeline swaps in fastText; the
+    operator shape (per-row classify) is identical."""
+    t = F.col(text_col)
+    words = F.array_distinct(F.split(F.lower(F.trim(t)), " "))
     scores = []
     for lang, stops in sorted(STOPWORDS.items()):
         arr = F.array(*[F.lit(w) for w in stops])
@@ -67,14 +122,23 @@ def language_id(
             )
         )
     best = F.array_max(F.array(*scores))
-    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.when(has_cjk, F.lit("zh"))
-        .when(best["hits"] > 0, best["lang"])
-        .otherwise(F.lit("und"))
-        .alias("lang_pred"),
+
+    n_nonspace = F.greatest(
+        F.length(F.regexp_replace(t, r"\s", "")), F.lit(1)
     )
+    pred = None
+    for lang, rng, thresh in SCRIPT_LANGS:
+        n_in = F.length(F.regexp_replace(t, f"[^{rng}]", ""))
+        cond = n_in.cast("double") / n_nonspace >= F.lit(thresh)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(
+            cond, F.lit(lang)
+        )
+    pred = (
+        pred.when(best["hits"] > 0, best["lang"])
+        .otherwise(F.lit("und"))
+        .alias("lang_pred")
+    )
+    return df.select(F.col(id_col).alias("doc_id"), pred)
 
 
 # BPE-style pre-tokenizer pattern: letter runs, digit runs, punctuation

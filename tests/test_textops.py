@@ -122,6 +122,48 @@ def test_language_id(spark):
     assert out[4] == "zh" and out[5] == "und"
 
 
+def test_language_id_confusion(spark):
+    """Diagonal confusion across all 21 supported languages (12 Latin
+    stopword inventories + 9 script-dominant) plus the und fallback —
+    one natural-ish snippet per language, every prediction must land on
+    its own language (zero off-diagonal mass on this probe set)."""
+    from pdf_parser_spark.functions import language_id
+
+    snippets = {
+        "de": "der hund ist nicht mit der katze im haus und das ist gut",
+        "en": "the cat was on the mat and it is his for the day",
+        "es": "los perros y las casas son para su familia en el pueblo",
+        "fr": "le chat est dans la maison avec les enfants pour la nuit",
+        "id": "saya akan pergi ke pasar dengan dia untuk membeli ini",
+        "it": "il cane non sono per la casa ma come più del resto",
+        "nl": "ik ben niet met de fiets naar het huis op voor vandaag",
+        "pl": "nie wiem czy to jest już po co ale się stało",
+        "pt": "o cão não está em casa com os amigos do bairro mais",
+        "ro": "și nu este din mai pentru ca să fie pe masă cu noi",
+        "sv": "det är inte för att han var med om den resan och",
+        "tr": "bu bir şey değil ama çok daha iyi ile için ben geldim",
+        "ko": "안녕하세요 오늘 날씨가 정말 좋네요",
+        "ja": "これは日本語のテキストです",
+        "zh": "这是一个中文文档的例子",
+        "ru": "это русский текст для проверки",
+        "el": "αυτό είναι ελληνικό κείμενο",
+        "he": "זהו טקסט בעברית לבדיקה",
+        "ar": "هذا نص باللغة العربية",
+        "hi": "यह हिंदी में एक पाठ है",
+        "th": "นี่คือข้อความภาษาไทย",
+        "und": "xyzzy plugh qwfp zxcv",
+    }
+    langs = sorted(snippets)
+    df = spark.createDataFrame(
+        [(i, snippets[lang]) for i, lang in enumerate(langs)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+    confusion = {lang: out[i] for i, lang in enumerate(langs)}
+    wrong = {k: v for k, v in confusion.items() if k != v}
+    assert not wrong, f"off-diagonal predictions: {wrong}"
+
+
 def test_cosine_topk_exact_vs_lsh(spark):
     import numpy as np
 
