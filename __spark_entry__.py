@@ -895,6 +895,20 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real learned-BPE tokenization (functions/tokenize.py): fit a
+    200-merge corpus-internal table (bounded driver-side learn over the
+    top-4096 word-frequency rows), then one Arrow-kernel pass emitting
+    real token counts plus a 60-bit md5 fingerprint of each doc's exact
+    token stream. Oracle: VALUES literal from the pure-Python replica
+    (tools/gen_values_oracles.py) sharing kernels/bpe.py."""
+    from pdf_parser_spark.functions import bpe_apply, bpe_fit
+
+    docs = _load(spark, sf_dir, "documents")
+    merges = bpe_fit(docs, n_merges=200, top_words=4096)
+    return bpe_apply(docs, merges)
+
+
 Q_BPE_ORACLE = r"""
 SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
@@ -1889,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "pdf_extract": q_pdf_extract,
         "bpe_tokens": q_bpe_tokens,
+        "bpe_apply": q_bpe_apply,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q14_promo_revenue": q14_promo_revenue,
@@ -1930,6 +1945,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": Q_ROLLUP_ORACLE,
         "semi_anti_customers": Q_SEMI_ANTI_ORACLE,
         "bpe_tokens": Q_BPE_ORACLE,
+        "bpe_apply": _VALUES.BPE_APPLY_ORACLE,
         "q6_forecast_revenue": Q6_ORACLE,
         "q5_local_supplier_volume": Q5_ORACLE,
         "q14_promo_revenue": Q14_ORACLE,

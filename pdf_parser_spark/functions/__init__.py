@@ -46,6 +46,10 @@ from .curation import (  # noqa: F401
     CurationResult,
     curate,
 )
+from .tokenize import (  # noqa: F401
+    bpe_apply,
+    bpe_fit,
+)
 from .sampling import (  # noqa: F401
     deterministic_sample,
     stratified_sample,

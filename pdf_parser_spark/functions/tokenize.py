@@ -1,0 +1,125 @@
+"""Real-BPE tokenization operators: fit a corpus-internal merge table,
+apply it corpus-wide as an Arrow kernel.
+
+Replaces the regex-only token estimate (``quality.bpe_token_stats``)
+with an actual learned subword segmentation, so a token-budget planner
+gets counts from a real tokenizer of the corpus it will train on — no
+external vocabulary, public algorithm only (Sennrich et al. 2016).
+
+Scale shape (100 TB):
+- **fit** is the ivf_fit_centroids pattern: a bounded driver-side learn
+  over bounded metadata. The corpus-side cost is ONE pass — an Arrow
+  kernel that pre-aggregates word counts PER BATCH (a per-batch
+  ``Counter``), so the shuffle moving (word, cnt) rows into the global
+  ``groupBy(word)`` carries distinct-words-per-batch rows, not one row
+  per token; the driver then collects only the ``top_words`` most
+  frequent words (total order: count desc, word asc) and learns merges
+  in pure Python. At corpus scale you additionally fit on a
+  deterministic md5 doc sample (``sample_pct``) — BPE statistics
+  saturate long before 100 TB.
+- **apply** is embarrassingly parallel: ``mapInPandas`` with the merge
+  ranks captured in the kernel closure (a few KB — broadcast with the
+  task like any closure), per-word memoization inside each Python
+  worker (corpora repeat words heavily, so the amortized cost per token
+  is a dict hit), no shuffle at all.
+
+Correctness: the kernel logic lives in ``kernels/bpe.py`` (Spark-free)
+and the VALUES-oracle replica (tools/gen_values_oracles.py) calls the
+SAME functions over the same parquet — shared derivation, no forked
+logic, no Java-vs-Python regex gap (pre-tokenization runs under Python
+``re`` on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import deterministic_sample
+
+
+def bpe_fit(
+    df: DataFrame,
+    n_merges: int = 200,
+    top_words: int = 4096,
+    sample_pct: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table from the corpus. Returns the ordered
+    merge list (rank = position). Deterministic end-to-end: exact
+    integer counts from Spark, total-order top-words cut, tie-broken
+    merge learning (kernels/bpe.learn_merges)."""
+
+    def count_words(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        from ..kernels.bpe import pretokenize
+
+        for pdf in batches:
+            c: Counter = Counter()
+            for t in pdf[text_col]:
+                c.update(pretokenize(t))
+            if c:
+                yield pd.DataFrame(
+                    {"w": list(c.keys()), "cnt": list(c.values())}
+                )
+
+    src = df
+    if sample_pct < 100:
+        src = deterministic_sample(df, sample_pct, id_col=id_col)
+    top = (
+        src.select(text_col)
+        .mapInPandas(count_words, schema="w string, cnt long")
+        .groupBy("w")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(top_words)  # bounded-metadata collect, like the IVF fit
+        .collect()
+    )
+    from ..kernels.bpe import learn_merges
+
+    return learn_merges({r["w"]: r["cnt"] for r in top}, n_merges)
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize every document with a learned merge table. Output per
+    doc: real token count, distinct-token-type count, and a 60-bit md5
+    fingerprint of the exact token stream (unit-separator-joined) so an
+    oracle can assert the segmentation itself, not just its length."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def tokenize(batches):
+        import pandas as pd
+
+        from ..kernels.bpe import encode, h60
+
+        memo: dict = {}
+        for pdf in batches:
+            out_id, n_tok, n_dist, tok_h = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = encode(t, ranks, memo)
+                out_id.append(i)
+                n_tok.append(len(toks))
+                n_dist.append(len(set(toks)))
+                tok_h.append(h60("\x1f".join(toks)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_id,
+                    "n_tokens": n_tok,
+                    "n_token_types": n_dist,
+                    "tokens_h": tok_h,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        tokenize,
+        schema="doc_id long, n_tokens int, n_token_types int, tokens_h long",
+    )

@@ -370,6 +370,45 @@ def gen_multimodal_rows(n: int = 24) -> list[tuple]:
     return rows
 
 
+def gen_bpe_apply_rows(
+    sf_dir: str, n_merges: int = 200, top_words: int = 4096
+) -> list[tuple]:
+    """Pure-Python replica of __spark_entry__.q_bpe_apply: word counts
+    via Counter over the SAME Python-re pre-tokenizer, the same total
+    (cnt desc, word asc) top-words cut, the same shared learn/encode
+    kernel (kernels/bpe.py) — no Spark involved."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.kernels.bpe import (
+        encode,
+        h60,
+        learn_merges,
+        pretokenize,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    c: Counter = Counter()
+    for txt in texts:
+        c.update(pretokenize(txt))
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_words]
+    merges = learn_merges(dict(top), n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    memo: dict = {}
+    rows = []
+    for doc_id, txt in zip(ids, texts):
+        toks = encode(txt, ranks, memo)
+        rows.append(
+            (doc_id, len(toks), len(set(toks)), h60("\x1f".join(toks)))
+        )
+    return rows
+
+
 def _sql_str(v) -> str:
     if v is None:
         return "NULL"
@@ -430,6 +469,21 @@ def build() -> str:
     ivf_sql = topk_sql(gen_ivf_topk_rows(SF_DIR), "IVF top-k")
     q8_sql = topk_sql(gen_q8_topk_rows(SF_DIR), "int8-quantized top-k")
 
+    bpe_rows = gen_bpe_apply_rows(SF_DIR)
+    bpe_values = ",\n".join(
+        f"  ({i}, {nt}, {nd}, {th})" for (i, nt, nd, th) in bpe_rows
+    )
+    bpe_sql = (
+        "-- VALUES-ORACLE(sf0.01): pure-python BPE replica "
+        "(shared kernels/bpe.py), tools/gen_values_oracles.py\n"
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,\n"
+        "       CAST(n_tokens AS INT) AS n_tokens,\n"
+        "       CAST(n_token_types AS INT) AS n_token_types,\n"
+        "       CAST(tokens_h AS BIGINT) AS tokens_h\n"
+        f"FROM (VALUES\n{bpe_values}\n"
+        ") AS t(doc_id, n_tokens, n_token_types, tokens_h)"
+    )
+
     mm_rows = gen_multimodal_rows()
     def _cell(v):
         if v is None:
@@ -468,7 +522,8 @@ def build() -> str:
         f"MULTIMODAL_ORACLE = {mm_sql!r}\n\n"
         f"LSH_TOPK_ORACLE = {lsh_sql!r}\n\n"
         f"IVF_TOPK_ORACLE = {ivf_sql!r}\n\n"
-        f"Q8_TOPK_ORACLE = {q8_sql!r}\n"
+        f"Q8_TOPK_ORACLE = {q8_sql!r}\n\n"
+        f"BPE_APPLY_ORACLE = {bpe_sql!r}\n"
     )
     return body
 
