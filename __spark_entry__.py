@@ -1190,6 +1190,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         featurize_media,
     )
 
+    _ensure_pkg(spark)  # no _load here — self-ship the pkg explicitly
     media = spark.createDataFrame(
         build_demo_media(), "media_id long, payload binary"
     )

@@ -136,6 +136,10 @@ def build_demo_media(n: int = 24) -> list[tuple[int, bytes]]:
             rows.append((i, mc.encode_png(px)))
     rows.append((n, b"\xff\xd8\xff\xe0no-jpeg-codec-here"))
     rows.append((n + 1, b"not-a-container-at-all"))
+    # header-probeable stubs: real JFIF/BMFF structure, no pixel data —
+    # metadata columns fill, error_class = decode_stubbed
+    rows.append((n + 2, mc.encode_jpeg_header(640, 480, 3)))
+    rows.append((n + 3, mc.encode_mp4_header(1280, 720, 300, 600, 6000)))
     return rows
 
 
@@ -149,7 +153,20 @@ def _featurize_one(media_id: int, blob: bytes) -> dict:
     try:
         d = decode_media(blob)
     except NotImplementedError as e:
-        out["error"] = f"no_codec: {str(e)[:80]}"
+        # full decode is stubbed for this container — but if its header
+        # metadata is probeable (JPEG SOF / MP4 box tree), surface the
+        # real typed metadata and mark only the decode as stubbed
+        from ..kernels.media_codecs import probe_any
+
+        p = probe_any(blob)
+        if p is None:
+            out["error"] = f"no_codec: {str(e)[:80]}"
+            return out
+        out["kind"] = p["kind"]
+        for k in ("width", "height", "channels", "n_frames", "duration_s"):
+            if p.get(k) is not None:
+                out[k] = p[k]
+        out["error"] = f"decode_stubbed: {str(e)[:80]}"
         return out
     except Exception as e:
         out["error"] = f"bad_media: {str(e)[:80]}"

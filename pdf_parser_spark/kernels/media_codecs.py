@@ -1,7 +1,10 @@
 """Real media codecs, stdlib-only (SURVEY.md §7.0: no PIL/ffmpeg in
 this environment — but BMP, WAV and PNG are fully decodable with
 struct + zlib + numpy, so these three REAL formats get real decoders;
-JPEG/MP4/etc. still raise NotImplementedError into the error channel).
+JPEG/MP4 full decode still raises NotImplementedError into the error
+channel, while their HEADER metadata — dimensions, channels, duration,
+frame count — is parsed for real from the public container structures:
+JFIF marker segments and ISO-BMFF boxes, see probe_jpeg/probe_mp4).
 
 Encoders exist so tests can round-trip deterministic arrays; they write
 the plainest legal form of each format (BI_RGB bitmaps, PCM wav,
@@ -277,6 +280,245 @@ def encode_png(px: np.ndarray) -> bytes:
         + _png_chunk(b"IDAT", zlib.compress(raw, 6))
         + _png_chunk(b"IEND", b"")
     )
+
+
+# ------------------------------------------- JPEG / MP4 header probes
+#
+# Full pixel/frame decode of these formats genuinely needs an external
+# codec (PIL / ffmpeg — not in this sandbox), and stays a clearly-marked
+# NotImplementedError in decode_any. But the METADATA a curation
+# pipeline filters on (dimensions, channels, duration, frame count) is
+# plain public container structure: JFIF marker segments (ITU-T T.81)
+# and ISO BMFF boxes (ISO/IEC 14496-12). These probes parse exactly
+# that, so JPEG/MP4 rows carry real typed metadata with only the pixel
+# decode stubbed.
+
+_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOF0-15 minus DHT/JPG/DAC
+
+
+def probe_jpeg(blob: bytes) -> dict:
+    """Walk JFIF marker segments to the first SOF frame header; return
+    width/height/channels. Pixels are NOT decoded (``pixels: None``)."""
+    if blob[:3] != b"\xff\xd8\xff":
+        raise MediaError("not a JPEG")
+    i = 2
+    n = len(blob)
+    while i + 4 <= n:
+        if blob[i] != 0xFF:
+            raise MediaError("bad JPEG marker stream")
+        j = i + 1
+        while j < n and blob[j] == 0xFF:  # fill bytes are legal
+            j += 1
+        if j >= n:
+            break
+        marker = blob[j]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i = j + 1  # standalone markers carry no length
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF
+            break
+        if j + 3 > n:
+            raise MediaError("truncated JPEG segment header")
+        seg_len = int.from_bytes(blob[j + 1 : j + 3], "big")
+        if seg_len < 2:
+            raise MediaError("bad JPEG segment length")
+        if marker in _SOF_MARKERS:
+            if j + 3 + 6 > n:
+                raise MediaError("truncated JPEG SOF segment")
+            h = int.from_bytes(blob[j + 4 : j + 6], "big")
+            w = int.from_bytes(blob[j + 6 : j + 8], "big")
+            channels = blob[j + 8]
+            if w == 0 or h == 0 or channels == 0:
+                raise MediaError("bad JPEG frame dimensions")
+            return {
+                "kind": "image",
+                "width": w,
+                "height": h,
+                "channels": channels,
+                "pixels": None,
+            }
+        i = j + 1 + seg_len
+    raise MediaError("no JPEG SOF marker found")
+
+
+def encode_jpeg_header(w: int, h: int, channels: int = 3) -> bytes:
+    """Header-ONLY JPEG (SOI + JFIF APP0 + SOF0 + EOI, no scan data) —
+    a legal marker stream for probe tests; not a decodable image."""
+    app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    sof_body = b"\x08" + struct.pack(">HHB", h, w, channels)
+    for c in range(channels):
+        sof_body += bytes([c + 1, 0x11, 0])
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+        + b"\xff\xd9"
+    )
+
+
+def _bmff_boxes(blob: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO-BMFF boxes in a span."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(blob[i : i + 4], "big")
+        btype = blob[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                raise MediaError("truncated MP4 largesize box")
+            size = int.from_bytes(blob[i + 8 : i + 16], "big")
+            body = i + 16
+        elif size == 0:  # box extends to end of span
+            size = end - i
+        if size < 8 or i + size > end:
+            raise MediaError("bad MP4 box size")
+        yield btype, body, i + size
+        i += size
+
+
+def _bmff_find(blob: bytes, start: int, end: int, btype: bytes):
+    for t, b, e in _bmff_boxes(blob, start, end):
+        if t == btype:
+            return b, e
+    return None
+
+
+def probe_mp4(blob: bytes) -> dict:
+    """Walk the ISO-BMFF box tree: mvhd -> duration, first video trak's
+    tkhd -> display dimensions, its stts -> total sample (frame) count.
+    Frames are NOT decoded (``frames: None``)."""
+    if blob[4:8] != b"ftyp":
+        raise MediaError("not an ISO-BMFF file")
+    moov = _bmff_find(blob, 0, len(blob), b"moov")
+    if moov is None:
+        raise MediaError("no moov box")
+    mvhd = _bmff_find(blob, moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        raise MediaError("no mvhd box")
+    ver = blob[mvhd[0]]
+    if ver == 1:
+        timescale = int.from_bytes(blob[mvhd[0] + 20 : mvhd[0] + 24], "big")
+        duration = int.from_bytes(blob[mvhd[0] + 24 : mvhd[0] + 32], "big")
+    else:
+        timescale = int.from_bytes(blob[mvhd[0] + 12 : mvhd[0] + 16], "big")
+        duration = int.from_bytes(blob[mvhd[0] + 16 : mvhd[0] + 20], "big")
+    if timescale == 0:
+        raise MediaError("zero mvhd timescale")
+
+    width = height = None
+    n_frames = None
+    for t, b, e in _bmff_boxes(blob, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        tkhd = _bmff_find(blob, b, e, b"tkhd")
+        if tkhd is None:
+            continue
+        toff = 88 if blob[tkhd[0]] == 1 else 76
+        w = int.from_bytes(blob[tkhd[0] + toff : tkhd[0] + toff + 4], "big")
+        h = int.from_bytes(
+            blob[tkhd[0] + toff + 4 : tkhd[0] + toff + 8], "big"
+        )
+        if w == 0 or h == 0:
+            continue  # non-visual track (audio/hint)
+        width, height = w >> 16, h >> 16  # 16.16 fixed point
+        mdia = _bmff_find(blob, b, e, b"mdia")
+        if mdia:
+            minf = _bmff_find(blob, mdia[0], mdia[1], b"minf")
+            if minf:
+                stbl = _bmff_find(blob, minf[0], minf[1], b"stbl")
+                if stbl:
+                    stts = _bmff_find(blob, stbl[0], stbl[1], b"stts")
+                    if stts:
+                        cnt = int.from_bytes(
+                            blob[stts[0] + 4 : stts[0] + 8], "big"
+                        )
+                        total = 0
+                        p = stts[0] + 8
+                        for _ in range(cnt):
+                            total += int.from_bytes(blob[p : p + 4], "big")
+                            p += 8
+                        n_frames = total
+        break
+    if width is None:
+        raise MediaError("no video track")
+    return {
+        "kind": "video",
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "duration_s": duration / timescale,
+        "frames": None,
+    }
+
+
+def encode_mp4_header(
+    w: int, h: int, n_frames: int, timescale: int, duration: int
+) -> bytes:
+    """Header-ONLY MP4 (ftyp + moov with mvhd/trak/tkhd/mdia tree, no
+    mdat) — a legal box tree for probe tests; not decodable video."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"  # version 0, flags: enabled|in-movie|preview
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">I", 1)  # track id
+        + b"\x00" * 4
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, group, volume, rsvd
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
+    )
+    stts = box(
+        b"stts",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">I", 1)
+        + struct.pack(">II", n_frames, max(1, duration // max(1, n_frames))),
+    )
+    stbl = box(b"stbl", stts)
+    minf = box(b"minf", stbl)
+    mdhd = box(
+        b"mdhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und', predefined
+    )
+    mdia = box(b"mdia", mdhd + minf)
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    return ftyp + moov
+
+
+def probe_any(blob: bytes) -> dict | None:
+    """Header-metadata probe for formats whose full decode is stubbed.
+    Returns None when the payload is not a probeable container (the
+    caller keeps its original error)."""
+    try:
+        if blob[:3] == b"\xff\xd8\xff":
+            return probe_jpeg(blob)
+        if blob[4:8] == b"ftyp":
+            return probe_mp4(blob)
+    except MediaError:
+        return None
+    return None
 
 
 # ------------------------------------------------------------ dispatch

@@ -83,3 +83,72 @@ def test_feature_join_with_ann(spark, media_df):
     )
     out = brute_force_cosine_topk(feats2, feats, k=2)
     assert out.count() == 2
+
+
+def test_probe_jpeg_header_roundtrip():
+    from pdf_parser_spark.kernels.media_codecs import (
+        MediaError,
+        encode_jpeg_header,
+        probe_jpeg,
+    )
+
+    p = probe_jpeg(encode_jpeg_header(640, 480, 3))
+    assert (p["width"], p["height"], p["channels"]) == (640, 480, 3)
+    assert p["pixels"] is None
+    # grayscale, and a progressive (SOF2) frame header
+    g = encode_jpeg_header(31, 17, 1)
+    assert probe_jpeg(g)["channels"] == 1
+    prog = bytearray(g)
+    prog[prog.index(0xC0, 2)] = 0xC2  # SOF0 -> SOF2 marker byte
+    assert probe_jpeg(bytes(prog))["width"] == 31
+    import pytest as _pytest
+
+    with _pytest.raises(MediaError):
+        probe_jpeg(b"\xff\xd8\xff\xe0no-jpeg-codec-here")
+
+
+def test_probe_mp4_header_roundtrip():
+    from pdf_parser_spark.kernels.media_codecs import (
+        MediaError,
+        encode_mp4_header,
+        probe_mp4,
+    )
+
+    p = probe_mp4(encode_mp4_header(1280, 720, 300, 600, 6000))
+    assert (p["width"], p["height"]) == (1280, 720)
+    assert p["n_frames"] == 300
+    assert p["duration_s"] == 10.0
+    assert p["frames"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(MediaError):
+        probe_mp4(b"\x00\x00\x00\x08ftyp")  # no moov
+
+
+def test_featurize_probe_rows(spark):
+    """JPEG/MP4 header-only payloads: metadata columns fill, decode is
+    marked stubbed, pixel-derived fields stay NULL."""
+    from pdf_parser_spark.functions.multimodal import (
+        build_demo_media,
+        featurize_media,
+    )
+
+    media = spark.createDataFrame(
+        build_demo_media(), "media_id long, payload binary"
+    )
+    rows = {r.media_id: r for r in featurize_media(media).collect()}
+    jpeg = rows[26]
+    assert (jpeg.kind, jpeg.width, jpeg.height, jpeg.channels) == (
+        "image", 640, 480, 3,
+    )
+    assert jpeg.error.startswith("decode_stubbed:")
+    assert jpeg.mean_intensity is None and jpeg.feature_vec is None
+    mp4 = rows[27]
+    assert (mp4.kind, mp4.width, mp4.height, mp4.n_frames) == (
+        "video", 1280, 720, 300,
+    )
+    assert mp4.duration_s == 10.0
+    assert mp4.error.startswith("decode_stubbed:")
+    # the pure error rows keep their original classes
+    assert rows[24].error.startswith("no_codec:")
+    assert rows[25].error.startswith("bad_media:")

@@ -367,6 +367,17 @@ def gen_multimodal_rows(n: int = 24) -> list[tuple]:
     rows.append(
         (n + 1, None, None, None, None, None, None, None, None, "bad_media")
     )
+    # header-probe rows (build_demo_media n+2/n+3): metadata comes from
+    # the JFIF/BMFF structures the encoders write — restated here as the
+    # literal values those headers carry, never through the probe code
+    rows.append(
+        (n + 2, "image", 640, 480, 3, None, None, None, None,
+         "decode_stubbed")
+    )
+    rows.append(
+        (n + 3, "video", 1280, 720, None, 300, None, _round6(6000 / 600),
+         None, "decode_stubbed")
+    )
     return rows
 
 
