@@ -7,6 +7,19 @@ schemas and dynamic-partition-overwrite semantics (the parquet stand-in
 for Iceberg's atomic partition replace). Job code only ever touches this
 facade, so pointing a real cluster at Iceberg is a config change, not a
 code change.
+
+Executing the Iceberg branch against a real catalog is IMPOSSIBLE in
+this sandbox — settled after three rounds of trying: no
+iceberg-spark-runtime jar anywhere on disk (`find / -name '*iceberg*'`
+returns only pytest tmpdirs) and no network to fetch one
+(repo1.maven.org does not resolve — "Name or service not known"). What
+IS verified instead: (a) both dispatch branches route the right calls
+with the right arguments (tests/test_io_dispatch.py, including a
+recording writeTo stub asserting the ``overwritePartitions`` call
+chain), and (b) the parquet branch's dynamic partition overwrite
+reproduces Iceberg's replace-exactly-the-written-partitions semantics
+on real data (test_iceberg_overwrite_partitions_semantics runs the
+SAME scenario through both a semantic stub and the parquet path).
 """
 
 from __future__ import annotations
