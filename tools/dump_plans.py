@@ -129,6 +129,18 @@ def main() -> None:
         plan_of(cur, "simple"),
     ))
 
+    from pdf_parser_spark.functions import bpe_apply, bpe_fit
+
+    merges = bpe_fit(d, n_merges=50, top_words=512)
+    sections.append((
+        "bpe_apply (learned-BPE tokenize, shuffle-free)",
+        "The merge table is learned driver-side from a bounded top-words "
+        "collect (its own one-pass job with per-batch pre-agg); the "
+        "corpus-wide APPLY is a single MapInPandas over the scan — zero "
+        "Exchanges, embarrassingly parallel at any cluster width.",
+        plan_of(bpe_apply(d, merges)),
+    ))
+
     spark.stop()
 
     with open("PLANS.md", "w") as f:
