@@ -486,6 +486,98 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot near-dedup (functions/dedup.incremental_dedup):
+    sources src10..src19 play the NEW crawl dump, src0..src9 the
+    accumulated reference corpus; candidates come only from
+    new-bucket x ref-bucket joins. md5 contract variant."""
+    from pdf_parser_spark.functions import incremental_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    src_no = F.substring("source", 4, 10).cast("int")
+    out = incremental_dedup(
+        docs.filter(src_no >= 10),
+        docs.filter(src_no < 10),
+        num_perm=16,
+        bands=4,
+        threshold=0.5,
+        hash_fn="md5",
+    )
+    return out.select(
+        "new_id", "ref_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _mk_incremental_oracle(num_perm=16, bands=4, n=3, threshold=0.5) -> str:
+    """DuckDB replica of q_dedup_incremental: the _mk_minhash_ctes
+    chain with a side column carried through, candidates restricted to
+    new x ref."""
+    rpb = num_perm // bands
+    mins = ",\n         ".join(
+        f"min(h1 + {i} * h2) AS mh_{i}" for i in range(num_perm)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, side, {b} AS band, {h} AS band_hash FROM sig".format(
+            b=b,
+            h=_duck_h64(
+                "concat_ws(':', "
+                + ", ".join(f"mh_{b * rpb + r}" for r in range(rpb))
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN CAST(substr(source, 4) AS INT) >= 10
+              THEN 'new' ELSE 'ref' END AS side,
+         string_split(trim(text), ' ') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, side,
+         array_to_string(ws[i:i+{n - 1}], ' ') AS shingle
+  FROM toks, unnest(range(1, len(ws) - {n - 2})) AS u(i)
+  WHERE length(array_to_string(ws[i:i+{n - 1}], ' ')) > 0
+),
+shh AS (
+  SELECT doc_id, side,
+         CAST('0x' || substr(md5(shingle), 1, 13) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(shingle), 14, 10) AS BIGINT) AS h2
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, side,
+         {mins}
+  FROM shh GROUP BY doc_id, side
+),
+bandsv AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+  FROM bandsv a JOIN bandsv b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.side = 'new' AND b.side = 'ref'
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.new_id, c.ref_id, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.new_id
+  JOIN sh sb ON sb.doc_id = c.ref_id AND sb.shingle = sa.shingle
+  GROUP BY c.new_id, c.ref_id
+)
+SELECT new_id, ref_id,
+       round(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = new_id
+JOIN sizes zb ON zb.doc_id = ref_id
+WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= {threshold}
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash per doc (md5 contract variant — DuckDB-reproducible)."""
     from pdf_parser_spark.functions import simhash64
@@ -617,6 +709,8 @@ sims AS (SELECT doc_id, {assemble} AS simhash FROM votes)"""
 
 
 Q_MINHASH_ORACLE = _mk_minhash_oracle()
+
+Q_DEDUP_INCREMENTAL_ORACLE = _mk_incremental_oracle()
 
 Q_SIMHASH_ORACLE = f"""
 WITH {_mk_simhash_cte()}
@@ -1895,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "q8_cosine_topk": q_q8_cosine_topk,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "simhash64": q_simhash,
         "winnow_fingerprints": q_winnow_fingerprints,
         "rollup_revenue": q_rollup_revenue,
@@ -1953,6 +2048,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": Q_SESSIONIZE_ORACLE,
         "lang_profile": Q_LANG_ORACLE,
         "minhash_lsh": Q_MINHASH_ORACLE,
+        "dedup_incremental": Q_DEDUP_INCREMENTAL_ORACLE,
         "simhash64": Q_SIMHASH_ORACLE,
         "simhash_near_dup": Q_SIMHASH_NEAR_DUP_ORACLE,
         "winnow_fingerprints": Q_WINNOW_ORACLE,

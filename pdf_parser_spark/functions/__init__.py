@@ -18,6 +18,7 @@ from .dedup import (  # noqa: F401
     embedding_near_dup,
     exact_dedup,
     hashed_bow_embedding,
+    incremental_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,

@@ -1110,3 +1110,124 @@ def decontaminate(
         F.col("b_start").alias("bench_start"),
         "length",
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Cross-snapshot near-dedup: find docs in a NEW crawl batch that
+    near-duplicate any doc in the accumulated REFERENCE corpus — the
+    merge step of an iterative crawl (each dump dedups against every
+    prior dump; within-batch pairs are ``minhash_lsh_candidates``).
+
+    Same MinHash/LSH machinery as the batch operator, but candidates
+    come ONLY from new-bucket x ref-bucket joins — never new x new or
+    ref x ref — so adding a dump costs O(new x matching buckets), not a
+    re-dedup of the whole corpus.
+
+    Scale (100 TB accumulated + a new dump): in production the ref side
+    is the PERSISTED bucket/shingle tables written when earlier dumps
+    were merged (pay the signature pass once per dump, bucket-join each
+    later dump against it — the same pay-the-shuffle-once-at-write move
+    as sources/io.write_bucketed; bucketing both tables by band_hash
+    makes the candidate join exchange-free). The verify join touches
+    candidate pairs only, with both per-doc size relations broadcast.
+
+    Returns (new_id, ref_id, jaccard) with jaccard >= threshold.
+    """
+    rows_per_band = num_perm // bands
+
+    def _prep(df: DataFrame):
+        sh = shingle(df, n, text_col, id_col).localCheckpoint(eager=True)
+        sig = _signatures_from_shingles(sh, num_perm, hash_fn)
+        band_cols = []
+        for b in range(bands):
+            cols = [
+                F.col(f"mh_{b * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ]
+            band_cols.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    hash64_multi(cols, hash_fn).alias("band_hash"),
+                )
+            )
+        buckets = sig.select(
+            "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+        ).select(
+            "doc_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_hash").alias("band_hash"),
+        )
+        return sh, buckets
+
+    sh_new, bk_new = _prep(new_df)
+    sh_ref, bk_ref = _prep(ref_df)
+
+    cand = (
+        bk_new.withColumnRenamed("doc_id", "new_id")
+        .join(
+            bk_ref.withColumnRenamed("doc_id", "ref_id"),
+            ["band", "band_hash"],
+        )
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    # size relations restricted to candidate docs BEFORE the broadcast:
+    # the full ref corpus has O(corpus) per-doc sizes, the candidate set
+    # is bucket-bounded — only the latter is broadcastable at 100 TB
+    sizes_new = (
+        sh_new.join(
+            cand.select(F.col("new_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_a"))
+    )
+    sizes_ref = (
+        sh_ref.join(
+            cand.select(F.col("ref_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_b"))
+    )
+    inter = (
+        sh_new.withColumnRenamed("doc_id", "new_id")
+        .join(cand, "new_id")
+        .join(
+            sh_ref.select(
+                F.col("doc_id").alias("ref_id"), F.col("shingle")
+            ),
+            ["ref_id", "shingle"],
+        )
+        .groupBy("new_id", "ref_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes_new.withColumnRenamed("doc_id", "new_id")),
+            "new_id",
+        )
+        .join(
+            F.broadcast(sizes_ref.withColumnRenamed("doc_id", "ref_id")),
+            "ref_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "ref_id", "jaccard")
+    )

@@ -947,3 +947,37 @@ def test_winnow_overlap_hot_fingerprint_cap(spark):
     # with the cap above every df, the boilerplate pairs come back
     uncapped = winnow_overlap_pairs(df, max_df=1000).collect()
     assert any(r.id_a < 8 and r.id_b < 8 for r in uncapped)
+
+
+def test_incremental_dedup_cross_side_only(spark):
+    """New-vs-reference near-dedup must report only cross-side pairs:
+    a near-dup WITHIN the new batch and one WITHIN the reference corpus
+    must not appear."""
+    from pdf_parser_spark.functions import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    ref = spark.createDataFrame(
+        [
+            (100, base),
+            (101, "reference corpus doc about spark shuffles and joins ok"),
+            (102, "reference corpus doc about spark shuffles and joins ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (200, base + " bank"),  # near-dup of ref 100
+            (201, base + " bank today"),  # near-dup of 200 AND ref 100
+            (202, "entirely novel content with no overlap whatsoever here"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.new_id, r.ref_id): r.jaccard
+        for r in incremental_dedup(new, ref, threshold=0.5).collect()
+    }
+    assert (200, 100) in pairs and (201, 100) in pairs
+    assert all(nid in (200, 201) and rid == 100 for nid, rid in pairs)
+    # within-side dups (201 vs 200, 102 vs 101) are not this operator's
+    # output — and novel content survives
+    assert not any(nid == 202 for nid, _ in pairs)
