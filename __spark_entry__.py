@@ -1973,6 +1973,42 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus length distribution with EXACT percentiles
+    (Spark `percentile` <-> DuckDB `quantile_cont`, both the standard
+    linear-interpolation estimator) — the sizing numbers a token-budget
+    planner reads before a training run. Exact percentile buffers each
+    stratum's values on the agg side, so the shuffle carries (stratum,
+    value) rows — fine for hundreds of strata; at 100 TB with huge
+    strata swap in approx_percentile (t-digest, partial-aggregatable)
+    and drop the oracle comparison."""
+    d = _load(spark, sf_dir, "documents")
+    pct = F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.9D))")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(pct.getItem(0), 6).alias("p25_chars"),
+            F.round(pct.getItem(1), 6).alias("p50_chars"),
+            F.round(pct.getItem(2), 6).alias("p90_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_CORPUS_STATS_ORACLE = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25_chars,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_html_extract": q_flagship_extract,
@@ -2004,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q14_promo_revenue": q14_promo_revenue,
         "lang_profile": q_lang_profile,
+        "corpus_stats": q_corpus_stats,
         "language_id": q_language_id,
         "dedup_clusters": q_dedup_clusters,
         "multimodal_features": q_multimodal_features,
@@ -2047,6 +2084,7 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_revenue": Q14_ORACLE,
         "sessionize": Q_SESSIONIZE_ORACLE,
         "lang_profile": Q_LANG_ORACLE,
+        "corpus_stats": Q_CORPUS_STATS_ORACLE,
         "minhash_lsh": Q_MINHASH_ORACLE,
         "dedup_incremental": Q_DEDUP_INCREMENTAL_ORACLE,
         "simhash64": Q_SIMHASH_ORACLE,
