@@ -2009,6 +2009,32 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (functions/textnorm.py): NFC kernel +
+    control/BOM strip + whitespace collapse over a deterministic probe
+    corpus exercising every rule (NFD accents, Hangul jamo, combining
+    Greek, angstrom sign, BOM, C0 controls, run-on whitespace). The
+    DuckDB oracle recomputes the SAME raw inputs with nfc_normalize +
+    RE2 regexes — two independent engines agreeing on the bytes."""
+    from pdf_parser_spark.functions import normalize_text
+    from pdf_parser_spark.functions.textnorm import build_norm_probe
+
+    _ensure_pkg(spark)  # no _load here — self-ship the pkg explicitly
+    probe = spark.createDataFrame(
+        build_norm_probe(), "doc_id long, text string"
+    )
+    return normalize_text(probe)
+
+
+def _mk_norm_oracle() -> str:
+    from pdf_parser_spark.functions.textnorm import mk_norm_oracle_sql
+
+    return mk_norm_oracle_sql()
+
+
+Q_NORMALIZE_ORACLE = _mk_norm_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_html_extract": q_flagship_extract,
@@ -2041,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q14_promo_revenue,
         "lang_profile": q_lang_profile,
         "corpus_stats": q_corpus_stats,
+        "normalize_text": q_normalize_text,
         "language_id": q_language_id,
         "dedup_clusters": q_dedup_clusters,
         "multimodal_features": q_multimodal_features,
@@ -2085,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": Q_SESSIONIZE_ORACLE,
         "lang_profile": Q_LANG_ORACLE,
         "corpus_stats": Q_CORPUS_STATS_ORACLE,
+        "normalize_text": Q_NORMALIZE_ORACLE,
         "minhash_lsh": Q_MINHASH_ORACLE,
         "dedup_incremental": Q_DEDUP_INCREMENTAL_ORACLE,
         "simhash64": Q_SIMHASH_ORACLE,

@@ -51,6 +51,9 @@ from .tokenize import (  # noqa: F401
     bpe_apply,
     bpe_fit,
 )
+from .textnorm import (  # noqa: F401
+    normalize_text,
+)
 from .sampling import (  # noqa: F401
     deterministic_sample,
     stratified_sample,

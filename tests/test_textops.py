@@ -981,3 +981,27 @@ def test_incremental_dedup_cross_side_only(spark):
     # within-side dups (201 vs 200, 102 vs 101) are not this operator's
     # output — and novel content survives
     assert not any(nid == 202 for nid, _ in pairs)
+
+
+def test_normalize_text_rules(spark):
+    """Every normalization rule, plus the dedup payoff: NFD and NFC
+    spellings of the same word become byte-identical."""
+    from pdf_parser_spark.functions import normalize_text
+    from pdf_parser_spark.functions.textnorm import build_norm_probe
+
+    probe = spark.createDataFrame(
+        build_norm_probe(), "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in normalize_text(probe).collect()}
+    assert out[0].text_norm == "plain ascii text stays untouched"
+    assert out[0].changed is False
+    # NFD composes to the same bytes as the already-NFC twin
+    assert out[1].text_norm == out[2].text_norm == "café and hôtel"
+    assert out[1].changed is True and out[2].changed is False
+    assert out[3].text_norm == "bom and controls here"
+    assert out[4].text_norm == "a b c d e"
+    assert out[5].text_norm == "padded"
+    assert out[6].text_norm == "한국"  # composed Hangul syllables
+    assert out[7].text_norm == "άέ"  # precomposed Greek
+    assert out[8].text_norm == "" and out[9].text_norm == ""
+    assert out[10].text_norm == "unit: 10 Å wide"  # U+212B -> U+00C5
