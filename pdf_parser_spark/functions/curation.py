@@ -1,8 +1,9 @@
 """End-to-end training-data curation: the composition a 100 TB web-text
 pipeline actually runs, as ONE operator —
 
-    [url_dedup] -> gopher_quality_filter -> redact_pii
-        -> minhash_lsh_candidates -> dedup_clusters -> stratified_sample
+    [url_dedup] -> [normalize_text] -> gopher_quality_filter
+        -> redact_pii -> minhash_lsh_candidates -> dedup_clusters
+        -> stratified_sample
 
 Each stage is the already-contract-checked component function; this
 module only wires them (no forked logic — the sharing IS the
@@ -37,6 +38,7 @@ from pyspark.sql import functions as F
 from .dedup import dedup_clusters, minhash_lsh_candidates
 from .quality import gopher_quality_filter, redact_pii, repetition_stats
 from .sampling import stratified_sample
+from .textnorm import normalize_text
 from .urlops import domain_quota_sample, url_dedup
 
 
@@ -66,6 +68,7 @@ def curate(
     id_col: str = "doc_id",
     url_col: str | None = None,
     host_quota: int | None = None,
+    normalize: bool = False,
     repetition_filter: bool = False,
     num_perm: int = 16,
     bands: int = 4,
@@ -146,6 +149,24 @@ def curate(
                 "host_quota",
                 {"quota": host_quota},
             )
+
+    # 0a. optional Unicode canonicalization (NFC + control strip +
+    #     whitespace collapse) BEFORE any hashing, so NFD/NFC spellings
+    #     of the same document dedup together — off by default so the
+    #     composed contract oracle stays fixed (repetition_filter
+    #     pattern)
+    if normalize:
+        norm = mat(
+            normalize_text(df, text_col=text_col, id_col=id_col),
+            "normalized",
+        )
+        df = df.drop(text_col).join(
+            norm.select(
+                F.col("doc_id").alias(id_col),
+                F.col("text_norm").alias(text_col),
+            ),
+            on=id_col,
+        )
 
     # 1. quality filter (audit keeps the reasons for every doc)
     quality = mat(

@@ -47,6 +47,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--strata-col", default="lang")
     ap.add_argument("--url-col", default=None,
                     help="enable crawl-level URL dedup on this column")
+    ap.add_argument("--normalize", action="store_true",
+                    help="Unicode-canonicalize text (NFC + control "
+                         "strip + whitespace collapse) before hashing")
     ap.add_argument("--repetition-filter", action="store_true",
                     help="also drop docs over Gopher top-ngram caps")
     ap.add_argument("--host-quota", type=int, default=None,
@@ -75,6 +78,7 @@ def main(argv: list[str] | None = None) -> int:
             default_pct=args.default_pct,
             url_col=args.url_col,
             host_quota=args.host_quota,
+            normalize=args.normalize,
             repetition_filter=args.repetition_filter,
             threshold=args.threshold,
             materialize_dir=f"{args.output}/stages",

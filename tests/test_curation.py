@@ -155,3 +155,33 @@ def test_curate_cli_and_resume(spark, tmp_path):
         assert os.path.getmtime(f"{out}/stages/{s}/_SUCCESS") == mtimes[s], s
     for s in ["pairs", "clusters", "curated"]:
         assert os.path.getmtime(f"{out}/stages/{s}/_SUCCESS") > mtimes[s], s
+
+
+def test_curate_normalize_stage(spark):
+    """With normalize=True an NFD spelling of a quality doc dedups
+    against its NFC twin (same bytes after canonicalization); without
+    it the two spellings hash apart and both survive."""
+    from pdf_parser_spark.functions import curate
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the calm "
+        "river flows past the old stone bridge and the busy market "
+        "square where people gather every single morning to trade"
+    )
+    nfc = base.replace("river", "rivière")
+    nfd = base.replace("river", "rivière")
+    docs = spark.createDataFrame(
+        [(1, nfc, "en"), (2, nfd, "en")], ["doc_id", "text", "lang"]
+    )
+    plain = curate(
+        docs, rates={"en": 100}, default_pct=100, threshold=0.9,
+        hash_fn="md5",
+    ).curated
+    assert {r.doc_id for r in plain.collect()} == {1, 2}
+
+    norm = curate(
+        docs, rates={"en": 100}, default_pct=100, threshold=0.9,
+        normalize=True, hash_fn="md5",
+    ).curated
+    # min-id keeper survives, the NFD twin is recognized as a dup
+    assert {r.doc_id for r in norm.collect()} == {1}
