@@ -457,6 +457,22 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-5 (the 32x memory-cut ANN
+    scale path): per-subspace codebooks fit driver-side on a bounded
+    normalized sample, 8-byte codes per vector, LUT scoring + exact
+    rerank of the top-32. VALUES oracle from the pure-Python replica
+    (tools/gen_values_oracles.py) sharing pq_fit_codebooks."""
+    from pdf_parser_spark.functions import pq_cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = pq_cosine_topk(
+        emb, q, k=5, m=8, ksub=16, rerank=32, dim=64, max_train=512
+    )
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q_q8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-quantized cosine top-5 (the MEMORY scale path: 4x smaller
     resident vectors; exact integer dots over quantized codes) for the
@@ -2050,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "q8_cosine_topk": q_q8_cosine_topk,
+        "pq_cosine_topk": q_pq_cosine_topk,
         "minhash_lsh": q_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
         "simhash64": q_simhash,
@@ -2102,6 +2119,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_cosine_topk": _VALUES.LSH_TOPK_ORACLE,
         "ivf_cosine_topk": _VALUES.IVF_TOPK_ORACLE,
         "q8_cosine_topk": _VALUES.Q8_TOPK_ORACLE,
+        "pq_cosine_topk": _VALUES.PQ_TOPK_ORACLE,
         "rollup_revenue": Q_ROLLUP_ORACLE,
         "semi_anti_customers": Q_SEMI_ANTI_ORACLE,
         "bpe_tokens": Q_BPE_ORACLE,

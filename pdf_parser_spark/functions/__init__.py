@@ -30,6 +30,7 @@ from .similarity import (  # noqa: F401
     brute_force_cosine_topk,
     ivf_cosine_topk,
     lsh_cosine_topk,
+    pq_cosine_topk,
     q8_cosine_topk,
 )
 from .quality import (  # noqa: F401

@@ -616,3 +616,238 @@ def q8_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def pq_fit_codebooks(
+    train_norm, m: int, ksub: int, seed: int = 7
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks for product quantization: slice the
+    NORMALIZED training matrix into ``m`` contiguous subspaces and run
+    the shared deterministic Lloyd's fit (ivf_fit_centroids) on each —
+    both the operator and the VALUES-oracle replica call THIS function
+    on the same float64 matrix, so the codebooks are bit-identical by
+    construction (the random_hyperplanes sharing pattern)."""
+    import numpy as np
+
+    train_norm = np.asarray(train_norm, dtype=np.float64)
+    dsub = train_norm.shape[1] // m
+    return [
+        ivf_fit_centroids(
+            train_norm[:, j * dsub : (j + 1) * dsub], ksub, seed=seed + j
+        )
+        for j in range(m)
+    ]
+
+
+def _normalize_rows_lf(V):
+    """Row-normalize with left-fold norms (zero rows stay zero). The
+    norm AND the division are the replica's exact op sequence."""
+    import numpy as np
+
+    nrm = np.sqrt(_lf_sq_rows(V))
+    safe = np.where(nrm == 0.0, 1.0, nrm)
+    return V / safe[:, None], nrm
+
+
+def _make_pq_code_kernel(codebooks, id_col, vec_col, out_id):
+    """Arrow kernel: (id, vec) -> (id, vec, nrm, m int8-range codes).
+    Distances per subspace are left-fold ops; ties pick the LOWEST code
+    id (argmin), mirroring the replica's (d2, code) sort."""
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+        c_sq = [
+            np.array([sum(x * x for x in c) for c in cb], dtype=np.float64)
+            for cb in codebooks
+        ]
+        m = len(C)
+        dsub = C[0].shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Vn, nrm = _normalize_rows_lf(V)
+            codes = np.zeros((len(V), m), dtype=np.int32)
+            for j in range(m):
+                sub = Vn[:, j * dsub : (j + 1) * dsub]
+                dvv = _lf_sq_rows(sub)
+                vc = np.column_stack(
+                    [
+                        _lf_dot_rows(sub, C[j][ci])
+                        for ci in range(C[j].shape[0])
+                    ]
+                )
+                d2 = (dvv[:, None] - 2.0 * vc) + c_sq[j][None, :]
+                codes[:, j] = d2.argmin(axis=1)  # first min = lowest code
+            out = pd.DataFrame({out_id: pdf[id_col].values})
+            out["vec"] = list(pdf[vec_col])
+            out["nrm"] = nrm
+            out["codes"] = [row.tolist() for row in codes]
+            yield out
+
+    return assign
+
+
+def _make_pq_score_kernel(luts, r: int):
+    """Arrow kernel over (nid, codes): asymmetric-distance scoring.
+    ``luts`` is [(query_id, lut[m][ksub] float64 lists)] — approx
+    cosine = sum_j lut[j][code_j], accumulated in subspace order (the
+    replica's fold). Emits only the per-batch top-``r`` rows per query
+    (order: approx DESC, neighbor_id ASC — a superset of any global
+    top-r member, so the downstream global window is batch-shape
+    independent), never one row per (query, corpus) pair."""
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        L = [
+            (qid, np.asarray(lut, dtype=np.float64)) for qid, lut in luts
+        ]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf["codes"]).astype(np.int64)
+            nids = pdf["nid"].values.astype(np.int64)
+            m = codes.shape[1]
+            q_out, n_out, s_out = [], [], []
+            for qid, lut in L:
+                s = lut[0][codes[:, 0]]
+                for j in range(1, m):
+                    s = s + lut[j][codes[:, j]]
+                mask = nids != qid
+                sm, nm = s[mask], nids[mask]
+                top = np.lexsort((nm, -sm))[:r]
+                q_out.extend([qid] * len(top))
+                n_out.extend(nm[top].tolist())
+                s_out.extend(sm[top].tolist())
+            yield pd.DataFrame(
+                {
+                    "query_id": q_out,
+                    "neighbor_id": n_out,
+                    "approx": s_out,
+                }
+            )
+
+    return score
+
+
+def pq_cosine_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+    max_train: int = 4096,
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jegou et al. 2011): each
+    normalized corpus vector is stored as ``m`` sub-codes (one byte
+    each at ksub<=256) — dim=64 float32 (256 B) compresses to 8 B, the
+    32x memory cut that makes billion-vector corpora fit in executor
+    memory. Queries score codes via per-subspace lookup tables
+    (asymmetric distance), then the top-``rerank`` candidates are
+    reranked with exact cosine on the true vectors.
+
+    Scale: codebooks fit DRIVER-SIDE on a bounded normalized sample
+    (the IVF pattern); the corpus is scanned once to assign codes; the
+    scoring pass streams codes (8 B/row) with the query LUTs in the
+    kernel closure, emitting only per-batch top-r rows per query —
+    never an all-pairs relation; the exact rerank touches
+    rerank x n_queries rows. Deterministic end-to-end: shared codebook
+    fit, left-fold kernels, total tie orders — the VALUES oracle
+    replays it bit-for-bit."""
+    import numpy as np
+
+    sample = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(max_train)
+        .collect()
+    )
+    train = np.array(
+        [[float(v) for v in r[1]] for r in sample], dtype=np.float64
+    )
+    train_n, _ = _normalize_rows_lf(train)
+    codebooks = pq_fit_codebooks(train_n, m, ksub, seed=seed)
+
+    assigned = _eager_kernel_output(
+        df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            _make_pq_code_kernel(codebooks, id_col, vec_col, "nid"),
+            schema=(
+                "nid long, vec array<float>, nrm double, codes array<int>"
+            ),
+        )
+    )
+
+    qrows = query_df.select(F.col(id_col), F.col(vec_col)).collect()
+    C = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    dsub = dim // m
+    luts = []
+    qside = []
+    for r_ in qrows:
+        qv = np.asarray([float(v) for v in r_[1]], dtype=np.float64)
+        qn = float(np.sqrt(_lf_sq_rows(qv[None, :])[0]))
+        qnv = qv / (qn if qn else 1.0)
+        lut = [
+            [
+                float(_lf_dot_rows(qnv[None, j * dsub : (j + 1) * dsub],
+                                   C[j][ci])[0])
+                for ci in range(C[j].shape[0])
+            ]
+            for j in range(m)
+        ]
+        luts.append((int(r_[0]), lut))
+        qside.append((int(r_[0]), [float(v) for v in r_[1]], qn))
+
+    scored = assigned.select("nid", "codes").mapInPandas(
+        _make_pq_score_kernel(luts, rerank),
+        schema="query_id long, neighbor_id long, approx double",
+    )
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("crk", F.row_number().over(w_r))
+        .filter(F.col("crk") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = df.sparkSession.createDataFrame(
+        qside, "query_id long, qvec array<float>, qn double"
+    )
+    exact = (
+        cand.join(
+            assigned.select(
+                F.col("nid").alias("neighbor_id"),
+                F.col("vec").alias("cvec"),
+                F.col("nrm").alias("cn"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qvec"), F.col("cvec"), dim)
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cosine"),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1005,3 +1005,42 @@ def test_normalize_text_rules(spark):
     assert out[7].text_norm == "άέ"  # precomposed Greek
     assert out[8].text_norm == "" and out[9].text_norm == ""
     assert out[10].text_norm == "unit: 10 Å wide"  # U+212B -> U+00C5
+
+
+def test_pq_topk_recall_and_rerank(spark):
+    """PQ with exact rerank: perturbed twins must come back rank 1 for
+    most queries (quantization can only lose candidates before the
+    rerank; with rerank >= corpus the result equals brute force)."""
+    import numpy as np
+
+    from pdf_parser_spark.functions import (
+        brute_force_cosine_topk,
+        pq_cosine_topk,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    base = rng.standard_normal((8, 16))
+    rows = []
+    for i in range(8):
+        rows.append((i, [float(x) for x in base[i]]))
+        rows.append(
+            (100 + i,
+             [float(x) for x in base[i] + 0.01 * rng.standard_normal(16)])
+        )
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 8)
+
+    # rerank covers the whole corpus -> must EQUAL brute force
+    pq_full = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in pq_cosine_topk(
+            emb, q, k=1, m=4, ksub=4, rerank=16, dim=16
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_cosine_topk(emb, q, k=1).collect()
+    }
+    assert pq_full == exact
+    for i in range(8):
+        assert pq_full[(i, 1)] == 100 + i

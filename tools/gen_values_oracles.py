@@ -381,6 +381,90 @@ def gen_multimodal_rows(n: int = 24) -> list[tuple]:
     return rows
 
 
+def gen_pq_topk_rows(
+    sf_dir: str,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 32,
+    dim: int = 64,
+    seed: int = 7,
+    max_train: int = 512,
+) -> list[tuple]:
+    """Replica of similarity.pq_cosine_topk for queries vec_id < 10.
+    Codebook fit is the SHARED pq_fit_codebooks on the same normalized
+    float64 sample (the ivf_fit_centroids sharing pattern); code
+    assignment, LUT scoring (subspace-order fold), candidate cut and
+    exact rerank are replicated independently with the engine's exact
+    fold order and tie rules."""
+    import numpy as np
+
+    from pdf_parser_spark.functions.similarity import pq_fit_codebooks
+
+    ids, vecs = _read_embeddings(sf_dir)
+    dsub = dim // m
+
+    def norml(v: list) -> tuple[list, float]:
+        n = math.sqrt(_dot_lf(v, v, dim))
+        return [x / (n if n else 1.0) for x in v], n
+
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    train_n = np.array(
+        [norml(vecs[i])[0] for i in order[:max_train]], dtype=np.float64
+    )
+    codebooks = pq_fit_codebooks(train_n, m, ksub, seed=seed)
+    c_sq = [
+        [sum(x * x for x in c) for c in cb] for cb in codebooks
+    ]
+
+    def assign(vn: list) -> list[int]:
+        codes = []
+        for j in range(m):
+            sub = vn[j * dsub : (j + 1) * dsub]
+            dvv = _dot_lf(sub, sub, dsub)
+            ds = []
+            for ci, c in enumerate(codebooks[j]):
+                ds.append(
+                    ((dvv - 2 * _dot_lf(sub, c, dsub)) + c_sq[j][ci], ci)
+                )
+            ds.sort()  # ties -> lowest code id
+            codes.append(ds[0][1])
+        return codes
+
+    side = {}
+    for vid, v in zip(ids, vecs):
+        vn, n = norml(v)
+        side[vid] = (v, assign(vn), n)
+
+    out_scored: dict[int, list[tuple[float, int]]] = {}
+    for qid in sorted(i for i in ids if i < 10):
+        qv, _, qn = side[qid]
+        qnv = [x / (qn if qn else 1.0) for x in qv]
+        lut = [
+            [
+                _dot_lf(qnv[j * dsub : (j + 1) * dsub], c, dsub)
+                for c in codebooks[j]
+            ]
+            for j in range(m)
+        ]
+        approx = []
+        for nid, (cv, codes, cn) in side.items():
+            if nid == qid:
+                continue
+            s = lut[0][codes[0]]
+            for j in range(1, m):
+                s = s + lut[j][codes[j]]
+            approx.append((s, nid))
+        approx.sort(key=lambda t: (-t[0], t[1]))
+        cands = []
+        for _, nid in approx[:rerank]:
+            cv, _, cn = side[nid]
+            cands.append((_dot_lf(qv, cv, dim) / (qn * cn), nid))
+        if cands:
+            out_scored[qid] = cands
+    return _rank_topk(out_scored, k)
+
+
 def gen_bpe_apply_rows(
     sf_dir: str, n_merges: int = 200, top_words: int = 4096
 ) -> list[tuple]:
@@ -479,6 +563,7 @@ def build() -> str:
     lsh_sql = topk_sql(gen_lsh_topk_rows(SF_DIR), "SRP-LSH top-k")
     ivf_sql = topk_sql(gen_ivf_topk_rows(SF_DIR), "IVF top-k")
     q8_sql = topk_sql(gen_q8_topk_rows(SF_DIR), "int8-quantized top-k")
+    pq_sql = topk_sql(gen_pq_topk_rows(SF_DIR), "product-quantization top-k")
 
     bpe_rows = gen_bpe_apply_rows(SF_DIR)
     bpe_values = ",\n".join(
@@ -534,6 +619,7 @@ def build() -> str:
         f"LSH_TOPK_ORACLE = {lsh_sql!r}\n\n"
         f"IVF_TOPK_ORACLE = {ivf_sql!r}\n\n"
         f"Q8_TOPK_ORACLE = {q8_sql!r}\n\n"
+        f"PQ_TOPK_ORACLE = {pq_sql!r}\n\n"
         f"BPE_APPLY_ORACLE = {bpe_sql!r}\n"
     )
     return body
