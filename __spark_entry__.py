@@ -1989,6 +1989,31 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+BM25_TERMS = ["spark", "table", "hash"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (functions/search.py) for a 3-term
+    query over the documents table; postings filtered to the query
+    terms before any aggregation, term stats broadcast, scores rounded
+    to 4 dp before ranking (cross-engine ln/sum-order absorption, the
+    unigram_logprob precedent)."""
+    from pdf_parser_spark.functions import bm25_search
+
+    return bm25_search(
+        _load(spark, sf_dir, "documents"), BM25_TERMS, k=10
+    )
+
+
+def _mk_bm25_oracle() -> str:
+    from pdf_parser_spark.functions.search import mk_bm25_oracle_sql
+
+    return mk_bm25_oracle_sql(BM25_TERMS, k=10)
+
+
+Q_BM25_ORACLE = _mk_bm25_oracle()
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus length distribution with EXACT percentiles
     (Spark `percentile` <-> DuckDB `quantile_cont`, both the standard
@@ -2084,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q14_promo_revenue,
         "lang_profile": q_lang_profile,
         "corpus_stats": q_corpus_stats,
+        "bm25_search": q_bm25_search,
         "normalize_text": q_normalize_text,
         "language_id": q_language_id,
         "dedup_clusters": q_dedup_clusters,
@@ -2130,6 +2156,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": Q_SESSIONIZE_ORACLE,
         "lang_profile": Q_LANG_ORACLE,
         "corpus_stats": Q_CORPUS_STATS_ORACLE,
+        "bm25_search": Q_BM25_ORACLE,
         "normalize_text": Q_NORMALIZE_ORACLE,
         "minhash_lsh": Q_MINHASH_ORACLE,
         "dedup_incremental": Q_DEDUP_INCREMENTAL_ORACLE,

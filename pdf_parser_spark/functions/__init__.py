@@ -55,6 +55,9 @@ from .tokenize import (  # noqa: F401
 from .textnorm import (  # noqa: F401
     normalize_text,
 )
+from .search import (  # noqa: F401
+    bm25_search,
+)
 from .sampling import (  # noqa: F401
     deterministic_sample,
     stratified_sample,

@@ -1044,3 +1044,26 @@ def test_pq_topk_recall_and_rerank(spark):
     assert pq_full == exact
     for i in range(8):
         assert pq_full[(i, 1)] == 100 + i
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 sanity: more query-term mass ranks higher; a doc matching a
+    RARE term outranks one matching only a corpus-common term; docs
+    with no query terms never appear."""
+    from pdf_parser_spark.functions import bm25_search
+
+    rows = [
+        (1, "rare term appears here once amid regular words"),
+        (2, "common common common words fill this document entirely"),
+        (3, "rare rare term term stacked document wins the query"),
+        (4, "nothing relevant in this one at all today"),
+    ] + [(10 + i, "common filler words everywhere") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_search(df, ["rare", "common"], k=10).collect()
+    ranks = {r.doc_id: r.rank for r in out}
+    scores = {r.doc_id: r.score for r in out}
+    assert 4 not in ranks
+    # doc 3 (rare x2) beats doc 1 (rare x1) beats pure-common docs
+    assert ranks[3] < ranks[1]
+    assert scores[1] > scores[2]
+    assert all(s > 0 for s in scores.values())

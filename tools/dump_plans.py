@@ -141,6 +141,23 @@ def main() -> None:
         plan_of(bpe_apply(d, merges)),
     ))
 
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    from pdf_parser_spark.functions import pq_cosine_topk
+
+    pq = pq_cosine_topk(
+        emb, emb.filter("vec_id < 10"), k=5, m=8, ksub=16, rerank=32,
+        dim=64, max_train=512,
+    )
+    sections.append((
+        "pq_cosine_topk (product-quantization ANN, candidate cut + rerank)",
+        "The corpus is scanned once into 8-byte codes (eager kernel); "
+        "LUT scoring streams codes and emits only per-batch top-r rows "
+        "per query; the rerank joins the top-32 candidate ids back to "
+        "the checkpointed code table and BROADCASTS the query vectors — "
+        "no all-pairs relation anywhere.",
+        plan_of(pq, "simple"),
+    ))
+
     spark.stop()
 
     with open("PLANS.md", "w") as f:
