@@ -1989,6 +1989,79 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): revenue lost to returns per
+    customer in a quarter; small dims broadcast, one partial-agg
+    groupBy, distributed top-20."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = _load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window coverage beyond row_number/lag: ntile deciles
+    and percent_rank of customer balance within each nation (integer
+    tile ids; percent_rank = (rank-1)/(n-1) — exact small-integer
+    division, cross-engine stable)."""
+    from pyspark.sql import Window
+
+    c = _load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+Q_DECILES_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       CAST(ntile(10) OVER w AS INT) AS decile,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
 BM25_TERMS = ["spark", "table", "hash"]
 
 
@@ -2106,7 +2179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply": q_bpe_apply,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q10_returned_items": q10_returned_items,
         "q14_promo_revenue": q14_promo_revenue,
+        "customer_deciles": q_customer_deciles,
         "lang_profile": q_lang_profile,
         "corpus_stats": q_corpus_stats,
         "bm25_search": q_bm25_search,
@@ -2152,7 +2227,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_apply": _VALUES.BPE_APPLY_ORACLE,
         "q6_forecast_revenue": Q6_ORACLE,
         "q5_local_supplier_volume": Q5_ORACLE,
+        "q10_returned_items": Q10_ORACLE,
         "q14_promo_revenue": Q14_ORACLE,
+        "customer_deciles": Q_DECILES_ORACLE,
         "sessionize": Q_SESSIONIZE_ORACLE,
         "lang_profile": Q_LANG_ORACLE,
         "corpus_stats": Q_CORPUS_STATS_ORACLE,
