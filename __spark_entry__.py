@@ -2062,6 +2062,39 @@ WINDOW w AS (PARTITION BY c_nationkey
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document -> training-context splitter (functions/tokenize.py):
+    32-token windows at stride 24 (8-token overlap) over the documents
+    table; shuffle-free array ops, one row per window."""
+    from pdf_parser_spark.functions import chunk_documents
+
+    return chunk_documents(
+        _load(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+
+
+Q_CHUNK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+),
+st AS (
+  SELECT doc_id, ws,
+         CAST(s AS INT) AS start,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+              AS INT) AS chunk_idx
+  FROM toks, unnest(range(0, greatest(len(ws), 0), 24)) AS u(s)
+  WHERE len(ws) > 0
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(ws[start + 1 : start + 32]) AS INT) AS n_tokens,
+       array_to_string(ws[start + 1 : start + 32], ' ') AS chunk_text
+FROM st
+"""
+
+
 BM25_TERMS = ["spark", "table", "hash"]
 
 
@@ -2185,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_profile": q_lang_profile,
         "corpus_stats": q_corpus_stats,
         "bm25_search": q_bm25_search,
+        "chunk_documents": q_chunk_documents,
         "normalize_text": q_normalize_text,
         "language_id": q_language_id,
         "dedup_clusters": q_dedup_clusters,
@@ -2234,6 +2268,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_profile": Q_LANG_ORACLE,
         "corpus_stats": Q_CORPUS_STATS_ORACLE,
         "bm25_search": Q_BM25_ORACLE,
+        "chunk_documents": Q_CHUNK_ORACLE,
         "normalize_text": Q_NORMALIZE_ORACLE,
         "minhash_lsh": Q_MINHASH_ORACLE,
         "dedup_incremental": Q_DEDUP_INCREMENTAL_ORACLE,

@@ -51,6 +51,7 @@ from .curation import (  # noqa: F401
 from .tokenize import (  # noqa: F401
     bpe_apply,
     bpe_fit,
+    chunk_documents,
 )
 from .textnorm import (  # noqa: F401
     normalize_text,

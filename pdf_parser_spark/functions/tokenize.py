@@ -84,6 +84,45 @@ def bpe_fit(
     return learn_merges({r["w"]: r["cnt"] for r in top}, n_merges)
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    document -> training-context splitter (stride < chunk_tokens gives
+    chunk overlap; the final window may be short). Output one row per
+    (doc, window): (doc_id, chunk_idx, n_tokens, chunk_text).
+
+    Scale: pure codegen-adjacent array ops (split / sequence / slice /
+    explode) — no shuffle, no Python; output rows are chunk-sized. The
+    array functions run in Spark's interpreted HOF path, which is fine
+    here because each document is touched once (this is not a pairwise
+    hot loop — the CLAUDE.md explode+window rewrite applies to repeated
+    per-pair scoring, not a single linear pass)."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.array_remove(F.split(F.trim(F.col(text_col)), " "), "")
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("start") + 1, chunk_tokens)
+    return t.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def bpe_apply(
     df: DataFrame,
     merges: list[tuple[str, str]],

@@ -87,3 +87,27 @@ def test_bpe_fit_top_words_cut_is_total_ordered(spark):
     merges = bpe_fit(df, n_merges=4, top_words=2)
     # all four words tie at cnt=4; the asc-word tie-break keeps ww, xx
     assert merges == learn_merges({"ww": 4, "xx": 4}, 4)
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from pdf_parser_spark.functions import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "one two"), (3, ""), (4, "   ")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # starts 0,3,6,9 -> windows of 4 with 1-token overlap; last is short
+    assert [r.chunk_text for r in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9",
+    ]
+    assert [r.n_tokens for r in c1] == [4, 4, 4, 1]
+    assert [r.chunk_idx for r in c1] == [0, 1, 2, 3]
+    # short doc: one window; empty/whitespace docs emit nothing
+    assert [r.chunk_text for r in by_doc[2]] == ["one two"]
+    assert 3 not in by_doc and 4 not in by_doc
