@@ -1210,7 +1210,7 @@ def _mk_language_id_oracle() -> str:
 WITH w AS (
   SELECT doc_id, text,
          list_distinct(string_split(lower(trim(text)), ' ')) AS words,
-         greatest(length(regexp_replace(text, '\\s', '', 'g')), 1)
+         greatest(length(regexp_replace(text, '[ \\t\\r\\n\\f\\x0B]', '', 'g')), 1)
            AS n_nonspace
   FROM documents
 ),
@@ -2087,6 +2087,7 @@ st AS (
               AS INT) AS chunk_idx
   FROM toks, unnest(range(0, greatest(len(ws), 0), 24)) AS u(s)
   WHERE len(ws) > 0
+    AND (s = 0 OR s < len(ws) - 32 + 24)
 )
 SELECT doc_id, chunk_idx,
        CAST(len(ws[start + 1 : start + 32]) AS INT) AS n_tokens,

@@ -76,6 +76,7 @@ def curate(
     threshold: float = 0.2,
     hash_fn: str = "xx",
     materialize_dir: str | None = None,
+    input_fingerprint: str | None = None,
 ) -> CurationResult:
     """Run the full curation pipeline over a documents-shaped table.
 
@@ -100,6 +101,13 @@ def curate(
     # quality/pii (round-3 ADVICE: marker-only resume silently reused
     # stale outputs computed under old parameters).
     chain = hashlib.sha256()
+    # Seed with the INPUT identity, not just stage params: without it a
+    # re-run against a different --input but the same --output matches
+    # every stage fingerprint and silently reuses the old corpus's
+    # outputs. The CLI passes its input path; callers with changing
+    # data under a stable path should pass a snapshot id here.
+    if input_fingerprint is not None:
+        chain.update(input_fingerprint.encode())
 
     def mat(d: DataFrame, name: str, params: dict | None = None) -> DataFrame:
         chain.update(

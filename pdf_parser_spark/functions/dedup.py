@@ -172,6 +172,36 @@ def _signatures_from_shingles(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _band_buckets(
+    sig: DataFrame, num_perm: int, bands: int, hash_fn: str
+) -> DataFrame:
+    """Signature table -> (doc_id, band, band_hash) bucket rows. The
+    ONE place band hashing is defined — minhash_lsh_candidates (batch)
+    and incremental_dedup (cross-snapshot) both route here, so a change
+    to the band construction can never fork their bucket spaces
+    (CLAUDE.md: never fork logic)."""
+    rows_per_band = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh_{b * rows_per_band + r}")
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                hash64_multi(cols, hash_fn).alias("band_hash"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_hash").alias("band_hash"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     num_perm: int = 16,
@@ -188,23 +218,11 @@ def minhash_lsh_candidates(
     Scale: candidates come from groupBy(band, band_hash) buckets —
     quadratic blowup is bounded per bucket, and the verify join touches
     only candidate pairs, never all pairs."""
-    rows_per_band = num_perm // bands
     # one tokenize+shingle pass, shared by the signature build AND the
     # exact-verify join below (left lazy, it executes three times)
     sh = shingle(df, n, text_col, id_col).localCheckpoint(eager=True)
     sig = _signatures_from_shingles(sh, num_perm, hash_fn)
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                hash64_multi(cols, hash_fn).alias("band_hash"),
-            )
-        )
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+    buckets = _band_buckets(sig, num_perm, bands, hash_fn)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -1010,15 +1028,18 @@ def cut_duplicate_passages(
     tok = tok0.select(
         "doc_id", (F.row_number().over(w0) - 1).cast("long").alias("pos"), "w"
     )
-    # n_orig via the pure projection-count (spaces+1 on the collapsed
-    # form) — NOT a second pass over tok: that would duplicate the
-    # explode/window subtree in the plan
-    clean0 = F.regexp_replace(F.trim(F.col(text_col)), " +", " ")
-    n_tok0 = F.when(clean0 == "", F.lit(0)).otherwise(
-        F.length(clean0) - F.length(F.regexp_replace(clean0, " ", "")) + 1
+    # ONE definition of the collapsed-text projection and its spaces+1
+    # token count, used by BOTH branches below — the pass-through's
+    # byte-equality with the rebuild depends on these staying in
+    # lockstep, so they must not be defined twice
+    clean = F.regexp_replace(F.trim(F.col(text_col)), " +", " ")
+    n_tok = F.when(clean == "", F.lit(0)).otherwise(
+        F.length(clean) - F.length(F.regexp_replace(clean, " ", "")) + 1
     )
+    # n_orig via the pure projection-count — NOT a second pass over
+    # tok: that would duplicate the explode/window subtree in the plan
     orig = touched.select(
-        F.col(id_col).alias("doc_id"), n_tok0.cast("long").alias("n_orig")
+        F.col(id_col).alias("doc_id"), n_tok.cast("long").alias("n_orig")
     )
     kept = tok.join(cuts, ["doc_id", "pos"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
@@ -1038,14 +1059,11 @@ def cut_duplicate_passages(
         "clean_text",
     )
 
-    # pass-through branch: untouched docs never shuffle. The projection
-    # is byte-equal to the rebuild's space-join: trim then collapse runs
-    # of spaces (split-on-' ' drops empties; join-with-' ' restores
-    # single spacing). Zero-token docs vanish, as in the rebuild path.
-    clean = F.regexp_replace(F.trim(F.col(text_col)), " +", " ")
-    n_tok = F.when(clean == "", F.lit(0)).otherwise(
-        F.length(clean) - F.length(F.regexp_replace(clean, " ", "")) + 1
-    )
+    # pass-through branch: untouched docs never shuffle. The shared
+    # `clean` projection is byte-equal to the rebuild's space-join:
+    # trim then collapse runs of spaces (split-on-' ' drops empties;
+    # join-with-' ' restores single spacing). Zero-token docs vanish,
+    # as in the rebuild path.
     untouched = (
         df.join(
             cut_ids.withColumnRenamed("doc_id", id_col), on=id_col,
@@ -1143,31 +1161,10 @@ def incremental_dedup(
 
     Returns (new_id, ref_id, jaccard) with jaccard >= threshold.
     """
-    rows_per_band = num_perm // bands
-
     def _prep(df: DataFrame):
         sh = shingle(df, n, text_col, id_col).localCheckpoint(eager=True)
         sig = _signatures_from_shingles(sh, num_perm, hash_fn)
-        band_cols = []
-        for b in range(bands):
-            cols = [
-                F.col(f"mh_{b * rows_per_band + r}")
-                for r in range(rows_per_band)
-            ]
-            band_cols.append(
-                F.struct(
-                    F.lit(b).alias("band"),
-                    hash64_multi(cols, hash_fn).alias("band_hash"),
-                )
-            )
-        buckets = sig.select(
-            "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-        ).select(
-            "doc_id",
-            F.col("bk.band").alias("band"),
-            F.col("bk.band_hash").alias("band_hash"),
-        )
-        return sh, buckets
+        return sh, _band_buckets(sig, num_perm, bands, hash_fn)
 
     sh_new, bk_new = _prep(new_df)
     sh_ref, bk_ref = _prep(ref_df)

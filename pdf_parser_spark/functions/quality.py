@@ -123,8 +123,11 @@ def language_id(
         )
     best = F.array_max(F.array(*scores))
 
+    # explicit whitespace class, never cross-engine \s (Java \s matches
+    # \x0B, RE2's does not — the repo rule textnorm.py states)
     n_nonspace = F.greatest(
-        F.length(F.regexp_replace(t, r"\s", "")), F.lit(1)
+        F.length(F.regexp_replace(t, "[ \\t\\r\\n\\f\\x0B]", "")),
+        F.lit(1),
     )
     pred = None
     for lang, rng, thresh in SCRIPT_LANGS:

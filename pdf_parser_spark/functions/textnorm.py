@@ -64,8 +64,9 @@ def normalize_text(
                 }
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     out = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        nfc, schema="doc_id long, _raw string, _nfc string"
+        nfc, schema=f"doc_id {id_type}, _raw string, _nfc string"
     )
     t = F.regexp_replace(F.col("_nfc"), _CTRL_JAVA, "")
     t = F.regexp_replace(t, _WS_JAVA, " ")

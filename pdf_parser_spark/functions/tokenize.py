@@ -106,8 +106,17 @@ def chunk_documents(
         raise ValueError("chunk_tokens and stride must be positive")
     toks = F.array_remove(F.split(F.trim(F.col(text_col)), " "), "")
     n = F.size(toks)
+    # a start s > 0 whose window would end at or before the PREVIOUS
+    # window's end (s - stride + chunk >= n) is a strict subset of it —
+    # a fully-redundant duplicate context; drop it. Equivalently: keep
+    # s == 0 or s < n - chunk + stride.
     starts = F.when(
-        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+        n > 0,
+        F.filter(
+            F.sequence(F.lit(0), n - 1, F.lit(stride)),
+            lambda s: (s == 0)
+            | (s < n - F.lit(chunk_tokens) + F.lit(stride)),
+        ),
     ).otherwise(F.array().cast("array<int>"))
     t = df.select(
         F.col(id_col).alias("doc_id"),
@@ -158,7 +167,11 @@ def bpe_apply(
                 }
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         tokenize,
-        schema="doc_id long, n_tokens int, n_token_types int, tokens_h long",
+        schema=(
+            f"doc_id {id_type}, n_tokens int, n_token_types int, "
+            "tokens_h long"
+        ),
     )

@@ -82,6 +82,7 @@ def main(argv: list[str] | None = None) -> int:
             repetition_filter=args.repetition_filter,
             threshold=args.threshold,
             materialize_dir=f"{args.output}/stages",
+            input_fingerprint=args.input,
         )
         curated = res.curated.count()
         kept = res.audit["quality"].filter("keep").count()

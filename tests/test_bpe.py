@@ -102,12 +102,13 @@ def test_chunk_documents_overlap_and_tail(spark):
     for r in out:
         by_doc.setdefault(r.doc_id, []).append(r)
     c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
-    # starts 0,3,6,9 -> windows of 4 with 1-token overlap; last is short
+    # starts 0,3,6 -> windows of 4 with 1-token overlap; start 9 is
+    # dropped: its window ("w9") is a strict subset of the window at 6
     assert [r.chunk_text for r in c1] == [
-        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9",
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
     ]
-    assert [r.n_tokens for r in c1] == [4, 4, 4, 1]
-    assert [r.chunk_idx for r in c1] == [0, 1, 2, 3]
+    assert [r.n_tokens for r in c1] == [4, 4, 4]
+    assert [r.chunk_idx for r in c1] == [0, 1, 2]
     # short doc: one window; empty/whitespace docs emit nothing
     assert [r.chunk_text for r in by_doc[2]] == ["one two"]
     assert 3 not in by_doc and 4 not in by_doc
