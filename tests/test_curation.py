@@ -185,3 +185,48 @@ def test_curate_normalize_stage(spark):
     ).curated
     # min-id keeper survives, the NFD twin is recognized as a dup
     assert {r.doc_id for r in norm.collect()} == {1}
+
+
+def test_curate_resume_invalidates_on_input_change(spark, tmp_path):
+    """Same --output, different input fingerprint: every stage must
+    recompute (round-4 review: marker+params resume silently reused the
+    old corpus's stages when only the input changed)."""
+    from pdf_parser_spark.functions import curate
+
+    def mk(prefix, base_id):
+        rows = []
+        for i in range(30):
+            words = " ".join(
+                f"{prefix}{(i * 37 + j * 11) % 997}" for j in range(80)
+            )
+            rows.append((base_id + i, words, "en"))
+        return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    a = mk("alpha", 0)
+    b = mk("beta", 100)
+    out = str(tmp_path / "stages")
+    r1 = curate(a, rates={"en": 100}, default_pct=100,
+                materialize_dir=out, input_fingerprint="corpus-a")
+    ids1 = {r.doc_id for r in r1.curated.collect()}
+    r2 = curate(b, rates={"en": 100}, default_pct=100,
+                materialize_dir=out, input_fingerprint="corpus-b")
+    ids2 = {r.doc_id for r in r2.curated.collect()}
+    assert ids1 and all(i < 100 for i in ids1)
+    assert ids2 and all(i >= 100 for i in ids2)  # NOT stale corpus-a
+
+
+def test_curate_string_ids_with_normalize(spark):
+    """id_col is generic: string doc ids flow through the normalize
+    kernel (round-4 review: hardcoded `doc_id long` schema)."""
+    from pdf_parser_spark.functions import curate
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", "a perfectly ordinary document with plenty of "
+          "distinct words to pass the quality gate here", "en")
+         for i in range(5)],
+        ["doc_id", "text", "lang"],
+    )
+    out = curate(docs, rates={"en": 100}, default_pct=100,
+                 normalize=True).curated
+    assert {r.doc_id for r in out.collect()} <= {f"doc-{i}" for i in range(5)}
+    assert out.count() >= 1
