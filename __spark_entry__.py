@@ -265,6 +265,57 @@ SELECT o_custkey, o_orderkey, rn FROM (
 """
 
 
+def q_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event matched to the user's most
+    recent order at-or-before the event timestamp (asof backward join —
+    functions/asof.py, union-window plan with NO join node). The right
+    side is deduped to one order per (custkey, orderdate) — max orderkey
+    wins — so the match is deterministic in both engines; DuckDB's
+    native ASOF JOIN (sort + per-key binary search, a genuinely
+    different algorithm) is the oracle."""
+    from pyspark.sql import Window
+
+    from pdf_parser_spark.functions import asof_join
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    orders = (
+        _load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    out = asof_join(ev, orders, "user_id", "o_custkey", "ts", "o_orderdate")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("matched_orderkey"),
+        F.col("o_orderdate").alias("matched_orderdate"),
+        F.col("o_totalprice").alias("matched_totalprice"),
+    )
+
+
+Q_ASOF_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
+         ) AS rn
+  FROM orders
+), rd AS (SELECT * FROM ranked WHERE rn = 1)
+SELECT e.event_id, e.user_id, e.ts,
+       rd.o_orderkey  AS matched_orderkey,
+       rd.o_orderdate AS matched_orderdate,
+       rd.o_totalprice AS matched_totalprice
+FROM events e
+ASOF JOIN rd ON e.user_id = rd.o_custkey AND e.ts >= rd.o_orderdate
+"""
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _load(spark, sf_dir, "events")
     return (
@@ -2189,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue": q3_top_revenue,
         "window_latest_orders": q_window_latest_orders,
+        "asof_orders": q_asof_orders,
         "events_hourly": q_events_hourly,
         "token_top": q_token_top,
         "dedup_exact": q_dedup_exact,
@@ -2246,6 +2298,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": Q1_ORACLE,
         "q3_top_revenue": Q3_ORACLE,
         "window_latest_orders": Q_WINDOW_ORACLE,
+        "asof_orders": Q_ASOF_ORACLE,
         "events_hourly": Q_EVENTS_ORACLE,
         "token_top": Q_TOKEN_ORACLE,
         "dedup_exact": Q_DEDUP_EXACT_ORACLE,

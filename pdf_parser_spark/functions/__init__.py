@@ -59,6 +59,9 @@ from .textnorm import (  # noqa: F401
 from .search import (  # noqa: F401
     bm25_search,
 )
+from .asof import (  # noqa: F401
+    asof_join,
+)
 from .sampling import (  # noqa: F401
     deterministic_sample,
     stratified_sample,
