@@ -1298,7 +1298,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # transitive closure of the (verified green) ngram pair oracle; min
 # reachable node per component = Spark's min-label propagation fixpoint
-Q_DEDUP_CLUSTERS_ORACLE = """
+# (shared CTE prefix — Q_DEDUP_CLUSTERS_ORACLE and Q_KEEP_BEST_ORACLE
+# both build on it)
+_CLUSTERS_CTES = """
 WITH RECURSIVE sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
@@ -1336,8 +1338,51 @@ reach(node, lab) AS (
   UNION
   SELECT und.src, reach.lab FROM und JOIN reach ON und.dst = reach.node
 )
-SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
 """
+
+Q_DEDUP_CLUSTERS_ORACLE = (
+    _CLUSTERS_CTES
+    + "SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node"
+)
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection: near-dup clusters (same chain
+    as dedup_clusters) -> keep ONE doc per cluster, longest text
+    (n_chars) wins, ties to the smallest id; singletons pass through a
+    pure projection and never touch the rank window
+    (functions/dedup.py keep_best_per_cluster)."""
+    from pdf_parser_spark.functions import (
+        dedup_clusters,
+        keep_best_per_cluster,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    clusters = dedup_clusters(pairs)
+    return keep_best_per_cluster(
+        docs.select("doc_id", "n_chars"), clusters, "n_chars"
+    )
+
+
+Q_KEEP_BEST_ORACLE = (
+    _CLUSTERS_CTES
+    + """
+, clus AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+),
+joined AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN clus c USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       row_number() OVER (
+         PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+       ) = 1 AS kept
+FROM joined
+"""
+)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2275,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "language_id": q_language_id,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "multimodal_features": q_multimodal_features,
         "gopher_filter": q_gopher_filter,
         "stratified_sample": q_stratified_sample,
@@ -2335,6 +2381,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _VALUES.EMBEDDING_NEAR_DUP_ORACLE,
         "language_id": Q_LANGUAGE_ID_ORACLE,
         "dedup_clusters": Q_DEDUP_CLUSTERS_ORACLE,
+        "dedup_keep_best": Q_KEEP_BEST_ORACLE,
         "multimodal_features": _VALUES.MULTIMODAL_ORACLE,
         "gopher_filter": Q_GOPHER_ORACLE,
         "stratified_sample": Q_STRATIFIED_ORACLE,

@@ -1228,3 +1228,51 @@ def incremental_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "ref_id", "jaccard")
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-representative selection — the cut a near-dup pipeline
+    actually applies: within every near-dup cluster keep ONE document
+    (highest ``score_col``, ties to the smallest id) and drop the rest.
+    Singleton documents (no cluster row) are their own cluster and are
+    always kept.
+
+    ``clusters`` is (id_col, cluster_id) as produced by
+    :func:`dedup_clusters` — EDGE-sized (only docs that near-dup
+    something), orders of magnitude smaller than the corpus, so it is
+    broadcast.
+
+    Scale shape (the cut_passages pass-through lesson): a single window
+    over coalesce(cluster_id, id) would shuffle the WHOLE corpus to rank
+    partitions that are 99% singletons. Instead the corpus splits into
+    - the clustered slice (broadcast left-semi-shaped inner join) which
+      alone pays the rank window — its size is bounded by the cluster
+      relation, not the corpus; and
+    - the singleton slice (broadcast left_anti) which exits through a
+      pure projection, kept=true, zero exchange.
+    Two broadcast-join passes over the scan, no corpus-sized shuffle
+    (pinned by tests/test_textops.py::test_keep_best_plan_shape).
+
+    Output: (id_col, cluster_id, kept) for every input document.
+    """
+    clusters = clusters.localCheckpoint(eager=True)  # 2 consumers below
+    slim = docs.select(id_col, score_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    ranked = (
+        slim.join(F.broadcast(clusters), id_col)
+        .withColumn("kept", F.row_number().over(w) == F.lit(1))
+        .select(id_col, "cluster_id", "kept")
+    )
+    singletons = slim.join(F.broadcast(clusters), id_col, "left_anti").select(
+        F.col(id_col),
+        F.col(id_col).alias("cluster_id"),
+        F.lit(True).alias("kept"),
+    )
+    return ranked.unionByName(singletons)

@@ -1067,3 +1067,50 @@ def test_bm25_ranking_properties(spark):
     assert ranks[3] < ranks[1]
     assert scores[1] > scores[2]
     assert all(s > 0 for s in scores.values())
+
+
+def test_keep_best_per_cluster(spark):
+    from pdf_parser_spark.functions import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+        "doc_id long, score long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (9, 4)],
+        "doc_id long, cluster_id long",
+    )
+    # doc 9 is singleton (not in clusters)
+    clusters = clusters.filter(F.col("doc_id") != 9)
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["kept"])
+        for r in keep_best_per_cluster(docs, clusters, "score").collect()
+    }
+    # cluster 1: docs 2 and 3 tie on score -> min id (2) wins
+    assert out[2] == (1, True) and out[3] == (1, False)
+    assert out[1] == (1, False)
+    # cluster 4 is a single-member cluster row -> kept
+    assert out[4] == (4, True)
+    # doc 9 has no cluster row -> own cluster, kept
+    assert out[9] == (9, True)
+
+
+def test_keep_best_plan_shape(spark):
+    """Singletons must NOT pass through the rank window: both corpus
+    passes are broadcast joins, and the only Exchange feeding the Window
+    is the (edge-bounded) clustered slice."""
+    from pdf_parser_spark.functions import keep_best_per_cluster
+    from tests.test_plans import count_nodes, plan_of
+
+    docs = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "doc_id long, score long"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    )
+    plan = plan_of(keep_best_per_cluster(docs, clusters, "score"))
+    assert count_nodes(plan, "BroadcastHashJoin") == 2, plan
+    assert count_nodes(plan, "Window") == 1, plan
+    # no SortMergeJoin / no corpus-wide shuffle beyond the window's own
+    # (the window input is the post-broadcast-join clustered slice)
+    assert count_nodes(plan, "SortMergeJoin") == 0, plan
