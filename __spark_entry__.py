@@ -1427,10 +1427,10 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mk_dup_span_ctes() -> str:
-    """DuckDB replica of duplicate_passages(min_len=8, hash_fn='md5')
-    as a CTE chain ending in ``spans`` — shared by the span-detection
-    oracle and the span-removal oracle."""
+def _mk_gram_ctes() -> str:
+    """DuckDB replica of _token_grams(min_len=8, hash_fn='md5') as the
+    toks/grams0 CTE pair — the shared front end of the pairwise-span,
+    span-removal and global-span oracles."""
     return f"""toks AS (
   SELECT doc_id,
          list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
@@ -1440,7 +1440,16 @@ grams0 AS (
   SELECT doc_id, i - 1 AS pos,
          {_duck_h64("array_to_string(ws[i:i+7], ' ')")} AS h
   FROM toks, unnest(range(1, len(ws) - 6)) AS u(i)
-),
+)"""
+
+
+def _mk_dup_span_ctes() -> str:
+    """DuckDB replica of duplicate_passages(min_len=8, hash_fn='md5')
+    as a CTE chain ending in ``spans`` — shared by the span-detection
+    oracle and the span-removal oracle."""
+    return (
+        _mk_gram_ctes()
+        + """,
 rare AS (
   SELECT h FROM grams0 GROUP BY h HAVING count(DISTINCT doc_id) <= 50
 ),
@@ -1461,12 +1470,56 @@ spans AS (
          max(pos_a) - min(pos_a) + 8 AS length
   FROM isl GROUP BY id_a, id_b, d, grp
 )"""
+    )
 
 
 Q_DUP_PASSAGES_ORACLE = (
     "WITH "
     + _mk_dup_span_ctes()
     + "\nSELECT id_a, id_b, a_start, b_start, length FROM spans\n"
+)
+
+
+def q_dup_spans_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated spans (count>=2 per 8-gram, within- OR
+    cross-document): the ExactSubstr cut unit, un-df-capped — popular
+    boilerplate surfaces here because occurrences are counted, never
+    joined pairwise (functions/dedup.py global_dup_spans)."""
+    from pdf_parser_spark.functions import global_dup_spans
+
+    return global_dup_spans(
+        _load(spark, sf_dir, "documents"), min_len=8, hash_fn="md5"
+    )
+
+
+Q_DUP_SPANS_GLOBAL_ORACLE = (
+    "WITH "
+    + _mk_gram_ctes()
+    + """,
+duph AS (SELECT h FROM grams0 GROUP BY h HAVING count(*) >= 2),
+iv AS (
+  SELECT doc_id, pos, pos + 7 AS e
+  FROM grams0 JOIN duph USING (h)
+),
+marked AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+         THEN 1 ELSE 0 END AS brk
+  FROM iv
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM marked
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       CAST(max(e) - min(pos) + 1 AS BIGINT) AS n_tokens
+FROM isl GROUP BY doc_id, grp
+"""
 )
 
 
@@ -2332,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "repetition_stats": q_repetition_stats,
         "dup_passages": q_dup_passages,
+        "dup_spans_global": q_dup_spans_global,
         "cut_passages": q_cut_passages,
         "decontaminate": q_decontaminate,
         "unigram_logprob": q_unigram_logprob,
@@ -2393,6 +2447,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": Q_CURATION_ORACLE,
         "repetition_stats": Q_REPETITION_ORACLE,
         "dup_passages": Q_DUP_PASSAGES_ORACLE,
+        "dup_spans_global": Q_DUP_SPANS_GLOBAL_ORACLE,
         "cut_passages": Q_CUT_PASSAGES_ORACLE,
         "decontaminate": Q_DECONTAMINATE_ORACLE,
         "unigram_logprob": Q_UNIGRAM_LOGPROB_ORACLE,

@@ -14,6 +14,7 @@ from .dedup import (  # noqa: F401
     cut_duplicate_passages,
     decontaminate,
     dedup_clusters,
+    global_dup_spans,
     keep_best_per_cluster,
     duplicate_passages,
     embedding_near_dup,

@@ -1276,3 +1276,77 @@ def keep_best_per_cluster(
         F.lit(True).alias("kept"),
     )
     return ranked.unionByName(singletons)
+
+
+def global_dup_spans(
+    df: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Corpus-level duplicated-text spans: maximal runs of tokens covered
+    by SOME >= ``min_len``-token substring that occurs at least twice
+    anywhere in the corpus (other documents OR the same one — Lee et
+    al.'s ExactSubstr cut unit). Complements :func:`duplicate_passages`,
+    which reports per-PAIR spans and deliberately df-caps boilerplate
+    grams (a gram in m docs is an m^2 join key): here the popular
+    boilerplate is exactly what must surface, and it can, because the
+    plan never joins occurrences pairwise —
+
+    1. gram hashes (shared :func:`_token_grams` front end, one doc_id
+       shuffle),
+    2. ``count(*) >= 2`` per hash — a map-side-combining aggregate, one
+       row per DISTINCT gram regardless of popularity (this is where the
+       suffix-array formulation of ExactSubstr collapses to O(n) in
+       Spark: adjacent-suffix LCP >= L is equivalent to "my L-gram
+       occurs twice", and gram counting needs no global suffix sort),
+    3. left_semi back onto the gram stream -> covered intervals
+       [pos, pos+L-1],
+    4. interval union per doc: running max of previous interval ends
+       (window over the SAME doc_id partitioning — no extra exchange),
+       break where a gap opens, sum-of-breaks island id, min/max per
+       island.
+
+    Output: (doc_id, span_start, span_end, n_tokens) per maximal
+    covered span, positions in empty-filtered token coordinates, both
+    bounds inclusive.
+    """
+    from pyspark.sql import Window
+
+    grams = _token_grams(df, min_len, text_col, id_col, hash_fn)
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    iv = grams.join(dup_h, "h", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + min_len - 1).alias("e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "brk",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    isl = marked.withColumn(
+        "grp", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+        )
+    )

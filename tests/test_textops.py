@@ -1114,3 +1114,35 @@ def test_keep_best_plan_shape(spark):
     # no SortMergeJoin / no corpus-wide shuffle beyond the window's own
     # (the window input is the post-broadcast-join clustered slice)
     assert count_nodes(plan, "SortMergeJoin") == 0, plan
+
+
+def test_global_dup_spans(spark):
+    """Hand-computed coverage: cross-doc shared runs merge via interval
+    union (including adjacent intervals), self-repetition counts, and a
+    gap splits spans."""
+    from pdf_parser_spark.functions import global_dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z"),      # shares "a b c d" with doc 2
+            (2, "q q q a b c d w"),
+            (3, "r r r r r r"),          # self-repeating gram
+            (4, "a2 b2 c2 m n o p d2 e2 f2"),  # two separated shared runs
+            (5, "a2 b2 c2 s t u v d2 e2 f2"),
+        ],
+        "doc_id long, text string",
+    )
+    out = global_dup_spans(docs, min_len=3)
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 0, 3, 4),   # grams at pos 0,1 -> [0,3]
+        (2, 3, 6, 4),
+        (3, 0, 5, 6),   # "r r r" x4 -> whole doc
+        (4, 0, 2, 3),   # gap between the two shared runs
+        (4, 7, 9, 3),
+        (5, 0, 2, 3),
+        (5, 7, 9, 3),
+    ]
