@@ -146,7 +146,37 @@ def stream_hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
-def stream_curate_stateless(docs: DataFrame) -> DataFrame:
+def _normalize_full_row(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode-canonicalize ``text_col`` IN PLACE, carrying every other
+    column through — the join-free form a stream needs (the batch
+    normalize_text returns a (doc_id, text_norm) relation, and joining
+    it back to the stream would be a watermark-needing stream-stream
+    join). NFC runs in Arrow batches; the control-strip / whitespace
+    collapse reuse textnorm's exact Java-regex constants so batch and
+    stream produce byte-identical text."""
+    from ..functions.textnorm import _CTRL_JAVA, _WS_JAVA
+
+    def nfc(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[text_col] = [
+                unicodedata.normalize("NFC", t) if t is not None else None
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    out = docs.mapInPandas(nfc, schema=docs.schema)
+    t = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), _CTRL_JAVA, ""), _WS_JAVA, " "
+        )
+    )
+    return out.withColumn(text_col, t)
+
+
+def stream_curate_stateless(docs: DataFrame, normalize: bool = False) -> DataFrame:
     """The stateless prefix of the curation pipeline on a STREAM:
     Gopher quality filter -> PII redaction, per arriving micro-batch.
     Both stages are pure row-wise expressions, so the exact batch
@@ -162,6 +192,8 @@ def stream_curate_stateless(docs: DataFrame) -> DataFrame:
     hygiene at ingest, corpus-level dedup in the nightly compaction)."""
     from ..functions.quality import gopher_quality_filter, redact_pii
 
+    if normalize:
+        docs = _normalize_full_row(docs)
     kept = (
         gopher_quality_filter(docs, full_row=True)
         .filter(F.col("keep"))

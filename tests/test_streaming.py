@@ -222,3 +222,61 @@ def test_stream_curate_stateless_matches_batch(spark, tmp_path):
     assert n1 < len(got)  # both drains contributed
     for did, (ct, ne, lg) in got.items():
         assert (ct, ne) == exp[did] and lg == langs[did]
+
+
+def test_curate_stream_job_cli(spark, tmp_path):
+    """The packaged streaming-curation job: two drains over a growing
+    feed resume from the checkpoint (no reprocessing), --normalize
+    produces byte-identical text to the batch normalizer, and the
+    summary line reports the sink totals."""
+    import re
+
+    from pdf_parser_spark.functions.quality import gopher_quality_filter
+    from pdf_parser_spark.functions.textnorm import normalize_text
+    from pdf_parser_spark.jobs.curate_stream import main
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    docs.filter("doc_id < 250").write.mode("append").parquet(feed)
+
+    import contextlib
+    import io
+
+    def run():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            assert main([
+                "--input", feed, "--output", out,
+                "--run-id", "s1", "--normalize",
+            ]) == 0
+        return buf.getvalue().strip().splitlines()[-1]
+
+    line1 = run()
+    m1 = re.search(r"docs_out_total=(\d+)", line1)
+    docs.filter("doc_id >= 250").write.mode("append").parquet(feed)
+    line2 = run()
+    m2 = re.search(r"docs_out_total=(\d+)", line2)
+    n1, n2 = int(m1.group(1)), int(m2.group(1))
+    assert 0 < n1 < n2
+
+    # third drain with no new files appends NOTHING (exactly-once)
+    line3 = run()
+    assert int(re.search(r"docs_out_total=(\d+)", line3).group(1)) == n2
+    assert "docs_out=0" in line3
+
+    # batch replica: normalize -> quality keep set; text must be
+    # byte-identical to the stream's normalized output
+    norm = normalize_text(docs).withColumnRenamed("text_norm", "text")
+    base = docs.drop("text").join(norm.select("doc_id", "text"), "doc_id")
+    kept = gopher_quality_filter(base, full_row=True).filter("keep")
+    exp = {r.doc_id: r.text for r in kept.select("doc_id", "text").collect()}
+    got = {
+        r.doc_id: r.clean_text
+        for r in spark.read.parquet(f"{out}/curated")
+        .select("doc_id", "clean_text").collect()
+    }
+    assert set(got) == set(exp)
+    sample = list(exp)[:50]
+    for did in sample:
+        assert got[did] == exp[did]
