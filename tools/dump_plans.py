@@ -158,6 +158,47 @@ def main() -> None:
         plan_of(pq, "simple"),
     ))
 
+    sections.append((
+        "asof_orders (point-in-time join, union-window formulation)",
+        "No join node at all: both inputs are tagged and unioned, ONE "
+        "exchange on the key, and a running last(ignorenulls) carries "
+        "the latest right payload to each left row — a hot key streams "
+        "through the window with O(1) state instead of exploding a "
+        "range join.",
+        plan_of(m.queries()["asof_orders"](spark, sf), "simple"),
+    ))
+
+    from pdf_parser_spark.functions import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0)], "doc_id long, cluster_id long"
+    )
+    sections.append((
+        "keep_best_per_cluster (cluster-representative selection)",
+        "Singleton pass-through: the corpus meets the edge-sized cluster "
+        "relation in two BROADCAST joins (rank branch + anti branch); "
+        "only the clustered slice — bounded by the cluster relation, "
+        "not the corpus — pays the rank window's exchange.",
+        plan_of(
+            keep_best_per_cluster(
+                d.select("doc_id", "n_chars"), clusters, "n_chars"
+            ),
+            "simple",
+        ),
+    ))
+
+    from pdf_parser_spark.functions import global_dup_spans
+
+    sections.append((
+        "global_dup_spans (corpus-level ExactSubstr coverage)",
+        "Boilerplate-safe by construction: occurrences are COUNTED "
+        "(map-side-combining groupBy, one row per distinct gram however "
+        "popular), never self-joined; the covered intervals then merge "
+        "per doc under the same doc_id partitioning the gram windows "
+        "already established.",
+        plan_of(global_dup_spans(d, min_len=8), "simple"),
+    ))
+
     spark.stop()
 
     with open("PLANS.md", "w") as f:
