@@ -1855,6 +1855,34 @@ WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 25
 """
 
 
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget shard packing via the two-phase distributed
+    prefix sum (range partition -> per-partition totals -> broadcast
+    offsets -> Arrow cumsum) — the doc->shard map a tokenize-and-train
+    pipeline writes output files from (functions/sampling.pack_shards).
+    The oracle is the naive single-window global running sum."""
+    from pdf_parser_spark.functions import pack_shards
+
+    return pack_shards(
+        _load(spark, sf_dir, "documents"), shard_tokens=2000
+    )
+
+
+Q_PACK_SHARDS_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(trim(text), ' '),
+                              w -> w <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST((sum(n_tokens) OVER (
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) - n_tokens) // 2000 AS BIGINT) AS shard_id
+FROM t
+"""
+
+
 def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host document quota (dominant-site damping): deterministic
     md5-lottery row_number per host, quota 30. Hosts are derived from
@@ -1891,6 +1919,67 @@ r AS (
   FROM u
 )
 SELECT doc_id, host FROM r WHERE host_rank <= 30
+"""
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering with subdomain (dot-suffix) matching
+    and port/case canonicalization (functions/urlops.py
+    filter_blocked_hosts). URLs are synthesized from doc_id identically
+    on both engines (the domain_quota convention) — some with a
+    subdomain, some with an explicit port — and the oracle re-runs the
+    REAL suffix expansion in SQL, not a structure shortcut."""
+    from pdf_parser_spark.functions import filter_blocked_hosts
+    from pdf_parser_spark.functions.urlops import url_host
+
+    d = _load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("sub.")).otherwise(F.lit("")),
+        F.lit("h"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":8080")).otherwise(
+            F.lit("")
+        ),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    blocked = spark.createDataFrame(
+        [("h1.example",), ("h3.example",)], "pattern string"
+    )
+    out = filter_blocked_hosts(d.select("doc_id", url.alias("url")), blocked)
+    return out.select("doc_id", url_host(F.col("url")).alias("host"))
+
+
+Q_BLOCKLIST_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || CASE WHEN doc_id % 3 = 0 THEN 'sub.' ELSE '' END
+           || 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+           || CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END
+           || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         regexp_replace(
+           lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)',
+                                1)),
+           ':[0-9]+$', '') AS host
+  FROM u
+),
+sfx AS (
+  SELECT doc_id,
+         array_to_string(string_split(host, '.')[i:], '.') AS s
+  FROM h, unnest(range(1, len(string_split(host, '.')) + 1)) AS t(i)
+),
+blocked(pattern) AS (VALUES ('h1.example'), ('h3.example')),
+bad AS (
+  SELECT DISTINCT doc_id FROM sfx JOIN blocked ON sfx.s = blocked.pattern
+)
+SELECT h.doc_id, h.host
+FROM h ANTI JOIN bad ON h.doc_id = bad.doc_id
 """
 
 
@@ -2377,7 +2466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "gopher_filter": q_gopher_filter,
         "stratified_sample": q_stratified_sample,
+        "pack_shards": q_pack_shards,
         "url_dedup": q_url_dedup,
+        "blocklist_filter": q_blocklist_filter,
         "domain_quota": q_domain_quota,
         "redact_pii": q_redact_pii,
         "winnow_overlap": q_winnow_overlap,
@@ -2439,7 +2530,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _VALUES.MULTIMODAL_ORACLE,
         "gopher_filter": Q_GOPHER_ORACLE,
         "stratified_sample": Q_STRATIFIED_ORACLE,
+        "pack_shards": Q_PACK_SHARDS_ORACLE,
         "url_dedup": Q_URL_DEDUP_ORACLE,
+        "blocklist_filter": Q_BLOCKLIST_ORACLE,
         "domain_quota": Q_DOMAIN_QUOTA_ORACLE,
         "redact_pii": Q_REDACT_PII_ORACLE,
         "winnow_overlap": Q_WINNOW_OVERLAP_ORACLE,

@@ -66,9 +66,11 @@ from .asof import (  # noqa: F401
 )
 from .sampling import (  # noqa: F401
     deterministic_sample,
+    pack_shards,
     stratified_sample,
 )
 from .urlops import (  # noqa: F401
     canonical_url,
+    filter_blocked_hosts,
     url_dedup,
 )

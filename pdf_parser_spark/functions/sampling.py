@@ -50,3 +50,99 @@ def stratified_sample(
     for value, rate in sorted(rates.items()):
         pct = F.when(F.col(strata_col) == value, F.lit(rate)).otherwise(pct)
     return df.filter(bucket < pct)
+
+
+def pack_shards(
+    df: DataFrame,
+    shard_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training shards: documents
+    are laid out in ``id_col`` order and a document starts shard
+    ``floor(tokens_before_it / shard_tokens)`` — the deterministic
+    doc->shard map a tokenize-and-train pipeline writes its output
+    files from.
+
+    The naive formulation is a running sum over ONE global window
+    (``sum() over (order by id)``), which Spark executes as a single
+    task holding the whole corpus — the textbook non-distributed plan.
+    This is the two-phase distributed prefix sum instead:
+
+    1. range-partition the slim (id, n_tokens) relation by id and sort
+       within partitions (partition p holds an id-contiguous block),
+       eagerly materialized so both phases read identical partitions;
+    2. per-partition token totals — one metadata-sized pass
+       (<= n_parts rows collected, the bounded-collect pattern);
+    3. exclusive prefix offsets per partition, broadcast as a dict;
+    4. one Arrow pass: numpy cumsum within each partition + that
+       partition's offset = the EXACT global running sum, at full
+       parallelism with 16-byte rows.
+
+    Output: (id_col, n_tokens, shard_id). A document longer than
+    ``shard_tokens`` occupies its starting shard (oversized docs are the
+    chunk_documents operator's business, upstream of packing).
+    """
+    if shard_tokens <= 0:
+        raise ValueError("shard_tokens must be positive")
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = spark.sparkContext.defaultParallelism
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    n_tok = F.size(F.array_remove(F.split(F.trim(F.col(text_col)), " "), ""))
+    slim = df.select(
+        F.col(id_col), n_tok.cast("long").alias("n_tokens")
+    )
+    ranged = (
+        slim.repartitionByRange(n_parts, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .localCheckpoint(eager=True)  # phases 2 and 4 must see the SAME
+        # partition boundaries (repartitionByRange re-samples per job)
+    )
+
+    def totals(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        s = 0
+        for b in batches:
+            s += int(b["n_tokens"].sum())
+        yield pd.DataFrame({"pid": [pid], "tot": [s]})
+
+    per_part = {
+        r["pid"]: r["tot"]
+        for r in ranged.mapInPandas(totals, "pid int, tot long").collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in range(n_parts):
+        offsets[pid] = acc
+        acc += per_part.get(pid, 0)
+    bc = spark.sparkContext.broadcast(offsets)
+    size = shard_tokens
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+        from pyspark import TaskContext
+
+        run = bc.value.get(TaskContext.get().partitionId(), 0)
+        for b in batches:
+            toks = b["n_tokens"].to_numpy(dtype="int64")
+            # exclusive prefix, length-safe for empty batches
+            ex = run + np.cumsum(toks) - toks
+            run += int(toks.sum())
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "n_tokens": b["n_tokens"],
+                    "shard_id": ex // size,
+                }
+            )
+
+    return ranged.mapInPandas(
+        assign, f"{id_col} {id_type}, n_tokens long, shard_id long"
+    )

@@ -1146,3 +1146,76 @@ def test_global_dup_spans(spark):
         (5, 0, 2, 3),
         (5, 7, 9, 3),
     ]
+
+
+def test_pack_shards_matches_global_cumsum(spark):
+    """The two-phase distributed prefix sum must equal the naive global
+    running sum for ANY partition count, and shard boundaries must fall
+    exactly where the exclusive prefix crosses the budget."""
+    from pdf_parser_spark.functions import pack_shards
+
+    rows = [(i, " ".join(["w"] * (3 + (i * 7) % 11))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # reference: exclusive prefix in plain python
+    n = {i: 3 + (i * 7) % 11 for i in range(200)}
+    acc, exp = 0, {}
+    for i in range(200):
+        exp[i] = acc // 100
+        acc += n[i]
+
+    for parts in (1, 3, 16):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["shard_id"])
+            for r in pack_shards(
+                docs, shard_tokens=100, n_parts=parts
+            ).collect()
+        }
+        assert len(got) == 200
+        for i in range(200):
+            assert got[i] == (n[i], exp[i]), (parts, i, got[i], exp[i])
+
+
+def test_pack_shards_empty_and_validation(spark):
+    import pytest as _pytest
+
+    from pdf_parser_spark.functions import pack_shards
+
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError):
+        pack_shards(docs, shard_tokens=0)
+    # more partitions than rows: empty partitions must not break the
+    # offset map or the Arrow cumsum
+    out = pack_shards(docs, shard_tokens=10, n_parts=8).collect()
+    assert [(r["doc_id"], r["n_tokens"], r["shard_id"]) for r in out] == [
+        (1, 3, 0)
+    ]
+
+
+def test_filter_blocked_hosts(spark):
+    """A pattern blocks the exact host and every subdomain, ports are
+    stripped before matching, unrelated suffixes survive, and the
+    blocklist side is broadcast."""
+    from pdf_parser_spark.functions import filter_blocked_hosts
+    from tests.test_plans import count_nodes, plan_of
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://example.com/x"),          # exact match -> blocked
+            (2, "https://a.b.example.com/y"),      # subdomain -> blocked
+            (3, "https://notexample.com/z"),       # NOT a suffix match
+            (4, "https://example.com:8080/p"),     # port stripped -> blocked
+            (5, "https://ok.org/q"),
+            (6, "HTTPS://EXAMPLE.COM/upper"),      # case-folded -> blocked
+        ],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame(
+        [("example.com",), ("spam.net",)], "pattern string"
+    )
+    out = filter_blocked_hosts(docs, blocked)
+    assert sorted(r["doc_id"] for r in out.collect()) == [3, 5]
+    plan = plan_of(out)
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1, plan
