@@ -139,3 +139,46 @@ def _per_partition_host_cap(
         .filter(F.col("_pp_rank") <= quota)
         .drop("_pid", "_pp_rank")
     )
+
+
+def filter_blocked_hosts(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """Drop documents whose URL host matches a domain blocklist
+    (UT1-style): a pattern blocks the host itself AND every subdomain
+    (``example.com`` blocks ``a.b.example.com``). Suffix matching breaks
+    the equi-join a blocklist filter wants, so each host is expanded to
+    its dot-suffix chain (``a.b.c`` -> ``a.b.c``, ``b.c``, ``c``) and
+    the chain is equi-joined against the patterns:
+
+    - the blocklist (even UT1's millions of domains = tens of MB) is
+      BROADCAST — the corpus never shuffles;
+    - the suffix explode is a slim (id, suffix) relation, <= label-count
+      (~4-5) rows per doc, immediately semi-joined down to the matched
+      ids;
+    - survivors exit via left_anti against the matched-id relation
+      (match-count sized, AQE picks the join strategy).
+
+    Returns the input rows (all columns) whose host matches no pattern.
+    """
+    host = url_host(F.col(url_col))
+    tmp = df.withColumn("_h", host)
+    sfx = (
+        "transform(sequence(1, size(split(_h, '\\\\.'))), "
+        "k -> substring_index(_h, '.', -k))"
+    )
+    ex = tmp.select(F.col(id_col), F.explode(F.expr(sfx)).alias("_sfx"))
+    bad = (
+        ex.join(
+            F.broadcast(blocked.select(F.col(pattern_col).alias("_sfx"))),
+            "_sfx",
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return tmp.join(bad, id_col, "left_anti").drop("_h")
