@@ -1983,6 +1983,115 @@ FROM h ANTI JOIN bad ON h.doc_id = bad.doc_id
 """
 
 
+def q_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-token fraction (the filterable scalar from
+    dup_spans_global; functions/dedup.py dup_coverage)."""
+    from pdf_parser_spark.functions import dup_coverage
+
+    return dup_coverage(
+        _load(spark, sf_dir, "documents"), min_len=8, hash_fn="md5"
+    )
+
+
+Q_DUP_COVERAGE_ORACLE = (
+    "WITH "
+    + _mk_gram_ctes()
+    + """,
+duph AS (SELECT h FROM grams0 GROUP BY h HAVING count(*) >= 2),
+iv AS (
+  SELECT doc_id, pos, pos + 7 AS e
+  FROM grams0 JOIN duph USING (h)
+),
+marked AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+         THEN 1 ELSE 0 END AS brk
+  FROM iv
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM marked
+),
+per AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS dup_tokens FROM (
+    SELECT doc_id, grp, max(e) - min(pos) + 1 AS n
+    FROM isl GROUP BY doc_id, grp
+  ) GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM toks
+)
+SELECT tot.doc_id, tot.n_tokens,
+       coalesce(per.dup_tokens, 0) AS dup_tokens,
+       CASE WHEN tot.n_tokens > 0
+            THEN round(coalesce(per.dup_tokens, 0) * 1.0 / tot.n_tokens, 4)
+            ELSE 0.0 END AS dup_frac
+FROM tot LEFT JOIN per USING (doc_id)
+"""
+)
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf-idf; ln absorbed by 4dp
+    rounding BEFORE ranking, ties lexicographic (functions/search.py
+    tfidf_keywords)."""
+    from pdf_parser_spark.functions import tfidf_keywords
+
+    return tfidf_keywords(_load(spark, sf_dir, "documents"), k=3)
+
+
+Q_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '),
+                                    w -> w <> '')) AS w
+  FROM documents
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+dfreq AS (SELECT w, count(*) AS df_ FROM tf GROUP BY w),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.w AS term,
+         round(tf.tf * ln(n.n_docs * 1.0 / dfreq.df_), 4) AS score
+  FROM tf JOIN dfreq USING (w) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC
+         ) AS rank
+  FROM scored
+)
+SELECT doc_id, term, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality cutoff: drop the shortest quartile by n_chars —
+    the threshold is the corpus's exact p25, learned in a scalar
+    pre-pass and applied as a codegen literal (functions/quality.py
+    percentile_filter)."""
+    from pdf_parser_spark.functions import percentile_filter
+
+    out = percentile_filter(
+        _load(spark, sf_dir, "documents"), "n_chars", q=0.25, keep="above"
+    )
+    return out.select("doc_id", "n_chars", "threshold")
+
+
+Q_PERCENTILE_FILTER_ORACLE = """
+WITH thr AS (
+  SELECT round(quantile_cont(n_chars, 0.25), 6) AS t FROM documents
+)
+SELECT doc_id, n_chars, CAST(thr.t AS DOUBLE) AS threshold
+FROM documents, thr
+WHERE n_chars >= thr.t
+"""
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + URL-level dedup over deterministic crawl
     variants (scheme/port/trailing-slash/fragment/query-order) of
@@ -2477,6 +2586,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "dup_passages": q_dup_passages,
         "dup_spans_global": q_dup_spans_global,
+        "dup_coverage": q_dup_coverage,
+        "tfidf_keywords": q_tfidf_keywords,
+        "percentile_filter": q_percentile_filter,
         "cut_passages": q_cut_passages,
         "decontaminate": q_decontaminate,
         "unigram_logprob": q_unigram_logprob,
@@ -2541,6 +2653,9 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": Q_REPETITION_ORACLE,
         "dup_passages": Q_DUP_PASSAGES_ORACLE,
         "dup_spans_global": Q_DUP_SPANS_GLOBAL_ORACLE,
+        "dup_coverage": Q_DUP_COVERAGE_ORACLE,
+        "tfidf_keywords": Q_TFIDF_ORACLE,
+        "percentile_filter": Q_PERCENTILE_FILTER_ORACLE,
         "cut_passages": Q_CUT_PASSAGES_ORACLE,
         "decontaminate": Q_DECONTAMINATE_ORACLE,
         "unigram_logprob": Q_UNIGRAM_LOGPROB_ORACLE,

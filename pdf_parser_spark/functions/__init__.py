@@ -14,6 +14,7 @@ from .dedup import (  # noqa: F401
     cut_duplicate_passages,
     decontaminate,
     dedup_clusters,
+    dup_coverage,
     global_dup_spans,
     keep_best_per_cluster,
     duplicate_passages,
@@ -39,6 +40,7 @@ from .quality import (  # noqa: F401
     bpe_token_stats,
     gopher_quality_filter,
     language_id,
+    percentile_filter,
     quality_metrics,
     redact_pii,
     repetition_stats,
@@ -60,6 +62,7 @@ from .textnorm import (  # noqa: F401
 )
 from .search import (  # noqa: F401
     bm25_search,
+    tfidf_keywords,
 )
 from .asof import (  # noqa: F401
     asof_join,

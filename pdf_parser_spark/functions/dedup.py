@@ -1350,3 +1350,48 @@ def global_dup_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
         )
     )
+
+
+def dup_coverage(
+    df: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Per-document duplicated-token fraction: what share of a doc's
+    tokens sit inside some >= ``min_len``-token substring that occurs
+    at least twice in the corpus — the scalar signal a curation filter
+    thresholds on (cut docs that are mostly boilerplate/copy), derived
+    from :func:`global_dup_spans`.
+
+    Scale: the span relation is output-sized (maximal spans only); its
+    per-doc rollup is a map-side-combining groupBy, and the join back
+    to the corpus token counts is id-keyed on two slim relations — the
+    corpus text crosses the wire once, inside global_dup_spans.
+
+    Output: (id_col, n_tokens, dup_tokens, dup_frac[4dp]); docs with no
+    duplicated span report 0 / 0.0.
+    """
+    spans = global_dup_spans(df, min_len, text_col, id_col, hash_fn)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("n_tokens").alias("dup_tokens")
+    )
+    n_tok = F.size(
+        F.array_remove(F.split(F.trim(F.col(text_col)), " "), "")
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"), n_tok.cast("long").alias("n_tokens")
+    )
+    joined = totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias(
+            "dup_tokens"
+        ),
+    )
+    frac = F.when(
+        F.col("n_tokens") > 0,
+        F.round(F.col("dup_tokens") / F.col("n_tokens"), 4),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn("dup_frac", frac)

@@ -495,3 +495,47 @@ def unigram_logprob_score(
             4,
         ).alias("avg_logprob"),
     )
+
+
+def percentile_filter(
+    df: DataFrame,
+    metric_col: str,
+    q: float = 0.25,
+    keep: str = "above",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adaptive threshold filter: keep rows whose ``metric_col`` is at
+    or above (``keep="above"``) / at or below (``"below"``) the corpus's
+    exact ``q``-quantile of that metric — the "drop the worst quartile
+    by quality score" cut, with the cutoff LEARNED from the corpus
+    instead of hard-coded.
+
+    Two-phase scalar broadcast (the ivf-fit / bpe-fit pattern): one
+    aggregate job computes the exact interpolated percentile (a single
+    scalar crosses to the driver — bounded by definition), then the
+    filter is a pure codegen comparison against the literal, pushable
+    into the scan of a materialized corpus.  At 100 TB the exact
+    percentile's full sort is the one expensive step; swap in
+    ``approx_percentile(..., accuracy)`` for a single-pass sketch with
+    a bounded error — same operator shape (corpus_stats documents the
+    same trade).
+
+    The threshold is rounded to 6 dp before comparing (Spark
+    ``percentile`` and DuckDB ``quantile_cont`` agree to >6 dp on exact
+    integer inputs — the corpus_stats precedent), so both engines cut
+    on the same literal.
+
+    Output: the surviving rows, all input columns, plus the applied
+    ``threshold`` column (audit trail).
+    """
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be above|below: {keep}")
+    thr = df.agg(
+        F.round(F.expr(f"percentile({metric_col}, {q})"), 6).alias("t")
+    ).collect()[0]["t"]
+    cond = (
+        F.col(metric_col) >= F.lit(thr)
+        if keep == "above"
+        else F.col(metric_col) <= F.lit(thr)
+    )
+    return df.filter(cond).withColumn("threshold", F.lit(float(thr)))

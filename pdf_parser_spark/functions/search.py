@@ -129,3 +129,50 @@ SELECT doc_id, score,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 3,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf (the
+    per-doc keyword signal an analyst or a topic-sampler consumes):
+    score(d, t) = tf(d, t) * ln(N / df(t)), rounded to 4 dp BEFORE
+    ranking (bm25's cross-engine ln absorption), ties to the
+    lexicographically smallest term.
+
+    Scale shape: tf is a map-side-combining groupBy over the token
+    explode (one row per DISTINCT (doc, term), never raw tokens — the
+    unigram pre-agg lesson, so the idf join never sees a stop-word-hot
+    token stream); df/N aggregate from tf (no second corpus pass); the
+    per-doc top-k window partitions on doc_id — bounded partitions by
+    construction.  ``min_df`` can prune hapax noise before the join.
+
+    Output: (doc_id, term, score, rank), rank 1..k per doc.
+    """
+    words = F.split(F.trim(F.col(text_col)), " ")
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words).alias("w")
+    ).filter(F.col("w") != "")
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df_"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df_") >= min_df)
+    n_docs = df.select(F.col(id_col)).distinct().count()  # scalar job
+    scored = tf.join(dfreq, "w").select(
+        "doc_id",
+        F.col("w").alias("term"),
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_")), 4)
+        .alias("score"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "score", "rank")
+    )

@@ -1219,3 +1219,77 @@ def test_filter_blocked_hosts(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [3, 5]
     plan = plan_of(out)
     assert count_nodes(plan, "BroadcastHashJoin") >= 1, plan
+
+
+def test_dup_coverage(spark):
+    from pdf_parser_spark.functions import dup_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z"),    # [0,3] + [5,7] covered -> 7/8
+            (2, "q q q a b c d w"),    # [3,6] covered -> 4/8
+            (3, "r r r r r r"),        # fully covered -> 6/6
+            (4, "u v w m n p"),        # nothing duplicated -> 0/6
+            (5, "x y z t1 t2 t3"),     # shares "x y z" with doc 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+        for r in dup_coverage(docs, min_len=3).collect()
+    }
+    assert got == {
+        1: (8, 7, 0.875),
+        2: (8, 4, 0.5),
+        3: (6, 6, 1.0),
+        4: (6, 0, 0.0),
+        5: (6, 3, 0.5),
+    }
+
+
+def test_tfidf_keywords(spark):
+    import math
+
+    from pdf_parser_spark.functions import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(docs, k=2)
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["score"])
+        for r in out.collect()
+    }
+    # idf: apple ln(3/1), banana ln(3/2), cherry ln(3/2), common ln(3/3)=0
+    assert got[(1, 1)] == ("apple", round(2 * math.log(3.0), 4))
+    assert got[(1, 2)] == ("banana", round(math.log(1.5), 4))
+    # doc 2: banana and cherry tie (tf=1, same idf) -> lexicographic
+    assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
+    assert got[(3, 1)] == ("cherry", round(3 * math.log(1.5), 4))
+    # common scores 0 everywhere and never outranks a positive term
+    assert got[(3, 2)] == ("common", 0.0)
+
+
+def test_percentile_filter(spark):
+    import pytest as _pytest
+
+    from pdf_parser_spark.functions import percentile_filter
+
+    docs = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(1, 11)],
+        "doc_id long, score double",
+    )
+    up = percentile_filter(docs, "score", q=0.25, keep="above")
+    ids = sorted(r["doc_id"] for r in up.collect())
+    # exact p25 of 10..100 is 32.5 -> survivors 40..100
+    assert ids == [4, 5, 6, 7, 8, 9, 10]
+    assert up.collect()[0]["threshold"] == 32.5
+    down = percentile_filter(docs, "score", q=0.25, keep="below")
+    assert sorted(r["doc_id"] for r in down.collect()) == [1, 2, 3]
+    with _pytest.raises(ValueError):
+        percentile_filter(docs, "score", keep="sideways")
