@@ -1492,10 +1492,14 @@ def q_dup_spans_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_DUP_SPANS_GLOBAL_ORACLE = (
-    "WITH "
-    + _mk_gram_ctes()
-    + """,
+def _mk_global_span_ctes() -> str:
+    """DuckDB replica of global_dup_spans(min_len=8, hash_fn='md5') as a
+    CTE chain ending in ``isl`` (covered intervals + island ids) —
+    shared by the global-span oracle and the coverage oracle so the
+    interval-union logic can never drift between them."""
+    return (
+        _mk_gram_ctes()
+        + """,
 duph AS (SELECT h FROM grams0 GROUP BY h HAVING count(*) >= 2),
 iv AS (
   SELECT doc_id, pos, pos + 7 AS e
@@ -1513,7 +1517,14 @@ isl AS (
   SELECT doc_id, pos, e,
          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
   FROM marked
-)
+)"""
+    )
+
+
+Q_DUP_SPANS_GLOBAL_ORACLE = (
+    "WITH "
+    + _mk_global_span_ctes()
+    + """
 SELECT doc_id,
        CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(e) AS BIGINT) AS span_end,
@@ -1995,26 +2006,8 @@ def q_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_DUP_COVERAGE_ORACLE = (
     "WITH "
-    + _mk_gram_ctes()
+    + _mk_global_span_ctes()
     + """,
-duph AS (SELECT h FROM grams0 GROUP BY h HAVING count(*) >= 2),
-iv AS (
-  SELECT doc_id, pos, pos + 7 AS e
-  FROM grams0 JOIN duph USING (h)
-),
-marked AS (
-  SELECT doc_id, pos, e,
-         CASE WHEN pos > coalesce(max(e) OVER (
-             PARTITION BY doc_id ORDER BY pos
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
-         THEN 1 ELSE 0 END AS brk
-  FROM iv
-),
-isl AS (
-  SELECT doc_id, pos, e,
-         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM marked
-),
 per AS (
   SELECT doc_id, CAST(sum(n) AS BIGINT) AS dup_tokens FROM (
     SELECT doc_id, grp, max(e) - min(pos) + 1 AS n

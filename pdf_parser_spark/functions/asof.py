@@ -64,6 +64,14 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward: {direction}")
 
     payload = [c for c in right.columns if c not in (right_on, right_ts)]
+    clash = sorted(set(left.columns) & ({right_ts} | set(payload)))
+    if clash:
+        # silent duplicate output names would make every downstream
+        # select ambiguous — force the caller to alias up front
+        raise ValueError(
+            "asof_join: right columns collide with left columns "
+            f"{clash}; alias them on one side before joining"
+        )
     r_struct = F.struct(
         F.col(right_ts).alias(right_ts),
         *[F.col(c).alias(c) for c in payload],

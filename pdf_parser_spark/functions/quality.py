@@ -533,6 +533,12 @@ def percentile_filter(
     thr = df.agg(
         F.round(F.expr(f"percentile({metric_col}, {q})"), 6).alias("t")
     ).collect()[0]["t"]
+    if thr is None:
+        # empty input / all-null metric: no threshold exists — return
+        # the empty frame (same schema) rather than an opaque TypeError
+        return df.filter(F.lit(False)).withColumn(
+            "threshold", F.lit(None).cast("double")
+        )
     cond = (
         F.col(metric_col) >= F.lit(thr)
         if keep == "above"

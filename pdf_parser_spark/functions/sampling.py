@@ -93,7 +93,10 @@ def pack_shards(
 
     n_tok = F.size(F.array_remove(F.split(F.trim(F.col(text_col)), " "), ""))
     slim = df.select(
-        F.col(id_col), n_tok.cast("long").alias("n_tokens")
+        F.col(id_col),
+        # null text = zero tokens (a NULL would reach the Arrow kernel
+        # as NaN and break the int64 cumsum)
+        F.coalesce(n_tok.cast("long"), F.lit(0)).alias("n_tokens"),
     )
     ranged = (
         slim.repartitionByRange(n_parts, F.col(id_col))

@@ -161,7 +161,8 @@ def tfidf_keywords(
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df_"))
     if min_df > 1:
         dfreq = dfreq.filter(F.col("df_") >= min_df)
-    n_docs = df.select(F.col(id_col)).distinct().count()  # scalar job
+    n_docs = df.count()  # scalar job; N = input rows (ids are unique
+    # upstream — exact_dedup's business), matching the oracle's count(*)
     scored = tf.join(dfreq, "w").select(
         "doc_id",
         F.col("w").alias("term"),

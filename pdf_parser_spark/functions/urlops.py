@@ -167,11 +167,17 @@ def filter_blocked_hosts(
     """
     host = url_host(F.col(url_col))
     tmp = df.withColumn("_h", host)
-    sfx = (
-        "transform(sequence(1, size(split(_h, '\\\\.'))), "
-        "k -> substring_index(_h, '.', -k))"
+    # posexplode + substring_index stays in codegen; the transform()
+    # HOF formulation of the suffix chain would be interpreted
+    # (CLAUDE.md: array HOFs are the slow path)
+    ex = tmp.select(
+        F.col(id_col),
+        F.col("_h"),
+        F.posexplode(F.split("_h", "\\.")).alias("_p", "_lbl"),
+    ).select(
+        F.col(id_col),
+        F.expr("substring_index(_h, '.', -(_p + 1))").alias("_sfx"),
     )
-    ex = tmp.select(F.col(id_col), F.explode(F.expr(sfx)).alias("_sfx"))
     bad = (
         ex.join(
             F.broadcast(blocked.select(F.col(pattern_col).alias("_sfx"))),

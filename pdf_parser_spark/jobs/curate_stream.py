@@ -43,6 +43,8 @@ def main(argv: list[str] | None = None) -> int:
                          "of draining the backlog and stopping")
     ap.add_argument("--trigger-secs", type=int, default=30,
                     help="processing-time trigger interval for --follow")
+    ap.add_argument("--drain-timeout-secs", type=int, default=3600,
+                    help="max wall for an availableNow backlog drain")
     ap.add_argument("--max-files-per-trigger", type=int, default=64)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -60,6 +62,16 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.monotonic()
         sink = f"{args.output}/curated"
         ck = f"{args.output}/_checkpoint"
+
+        def sink_count() -> int:
+            # a fresh (or all-rows-filtered) sink may hold only
+            # _spark_metadata and no readable parquet yet
+            try:
+                return spark.read.parquet(sink).count()
+            except Exception:
+                return 0
+
+        before = sink_count()
         # the feed schema is discovered from the existing files once —
         # streaming sources require a fixed schema up front
         schema = spark.read.parquet(args.input).schema
@@ -81,16 +93,15 @@ def main(argv: list[str] | None = None) -> int:
             q.awaitTermination()  # until interrupted / stopped externally
         else:
             q = writer.trigger(availableNow=True).start()
-            if not q.awaitTermination(3600):
+            if not q.awaitTermination(args.drain_timeout_secs):
                 raise TimeoutError("availableNow drain did not finish")
-        batches = 0
-        docs_out = 0
-        for p in q.recentProgress:
-            batches += 1
-            n = (p.get("sink") or {}).get("numOutputRows")
-            if n is not None and int(n) > 0:  # FileStreamSink may say -1
-                docs_out += int(n)
-        total = spark.read.parquet(sink).count()
+        # recentProgress is CAPPED (spark.sql.streaming.
+        # numRecentProgressUpdates, default 100) — fine for the batch
+        # count's order of magnitude, NOT for row accounting; docs_out
+        # is therefore the exact sink delta, not a progress sum
+        batches = len(q.recentProgress)
+        total = sink_count()
+        docs_out = total - before
         secs = time.monotonic() - t0
         print(
             f"run_id={args.run_id} batches={batches} docs_out={docs_out} "

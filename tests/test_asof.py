@@ -111,3 +111,11 @@ def test_right_payload_columns_carried(spark, quotes):
     assert out.columns == ["tid", "key", "tts", "qts", "px"]
     row = out.collect()[0]
     assert row["qts"] == _ts(20) and row["px"] == 12.0
+
+
+def test_column_collision_rejected(spark, quotes):
+    trades = spark.createDataFrame(
+        [(1, _ts(5), 1.0)], "key long, qts timestamp, px double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(trades, quotes, "key", "key", "qts", "qts")

@@ -1293,3 +1293,28 @@ def test_percentile_filter(spark):
     assert sorted(r["doc_id"] for r in down.collect()) == [1, 2, 3]
     with _pytest.raises(ValueError):
         percentile_filter(docs, "score", keep="sideways")
+
+
+def test_percentile_filter_empty_input(spark):
+    from pdf_parser_spark.functions import percentile_filter
+
+    docs = spark.createDataFrame(
+        [(1, 10.0)], "doc_id long, score double"
+    ).filter("doc_id < 0")
+    out = percentile_filter(docs, "score")
+    assert out.collect() == []
+    assert out.columns == ["doc_id", "score", "threshold"]
+
+
+def test_pack_shards_null_text(spark):
+    from pdf_parser_spark.functions import pack_shards
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "c d e")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"])
+        for r in pack_shards(docs, shard_tokens=3, n_parts=2).collect()
+    }
+    # null text = 0 tokens, occupies no budget
+    assert got == {1: (2, 0), 2: (0, 0), 3: (3, 0)}
