@@ -75,7 +75,11 @@ def stream_sessionize(
     )
 
 
-def stream_dedup(docs: DataFrame) -> DataFrame:
+def stream_dedup(
+    docs: DataFrame,
+    ttl_minutes: float | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
     """Custom STATEFUL streaming operator via applyInPandasWithState:
     exact dedup across the whole stream — the first document with a given
     content sha passes, every later duplicate is dropped, no matter how
@@ -84,33 +88,72 @@ def stream_dedup(docs: DataFrame) -> DataFrame:
     This is the crawl-ingest dedup a training-data pipeline runs before
     anything else; the batch analogue is functions.dedup.exact_dedup.
     Scale: state is keyed by sha (uniform), value is 8 bytes — the state
-    store grows with DISTINCT docs only.
+    store grows with DISTINCT docs only. On an UNBOUNDED stream even
+    8 B/distinct grows forever; ``ttl_minutes`` bounds it with EVENT-TIME
+    state eviction — a sha unseen (by ``ts_col``) for the TTL is
+    forgotten once the watermark passes, and its next occurrence is
+    admitted again (dup_index reset to 0). That is the standard
+    bounded-state trade: exact dedup within the TTL horizon, at state
+    proportional to distinct-docs-per-TTL-window instead of
+    distinct-docs-ever.
 
-    Input: streaming (url, doc_sha) rows. Output: the surviving rows plus
-    a running dup_index (0 for first occurrence)."""
+    Event time, NOT processing time, on purpose: wall-clock timers are
+    not replay-deterministic (a checkpoint replay evicts different keys
+    than the original run), and ProcessingTimeTimeout makes
+    FlatMapGroupsWithState's shouldRunAnotherBatch always-true, so an
+    ``availableNow`` backlog drain NEVER terminates (observed on this
+    Spark). Watermark-driven timers replay identically and let drains
+    finish.
+
+    Input: streaming (url, doc_sha) rows — plus ``ts_col`` (timestamp)
+    when ``ttl_minutes`` is set. Output: the surviving rows plus a
+    running dup_index (0 for first occurrence)."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    ttl_ms = int(ttl_minutes * 60_000) if ttl_minutes is not None else None
+    if ttl_ms is not None:
+        # the watermark delay doubles as the lateness allowance; rows
+        # older than the watermark are dropped by the stateful operator
+        docs = docs.withWatermark(ts_col, f"{ttl_ms} milliseconds")
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout_conf = GroupStateTimeout.NoTimeout
+
     def dedup_fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (sha,) = key
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # evict: the sha is forgotten
+            yield pd.DataFrame([], columns=["doc_sha", "url", "dup_index"])
+            return
         seen = state.get[0] if state.exists else 0
         # row order within a micro-batch group is NOT deterministic
         # (depends on scan partition order); pick the MIN url so the
         # surviving representative is stable across reruns
         urls: list[str] = []
+        max_ts_ms = None
         for pdf in pdfs:
             urls.extend(pdf["url"])
+            if ttl_ms is not None and len(pdf):
+                m = int(pdf[ts_col].max().value // 1_000_000)
+                max_ts_ms = m if max_ts_ms is None else max(max_ts_ms, m)
         out = []
         if seen == 0 and urls:
             out.append(
                 {"doc_sha": sha, "url": min(urls), "dup_index": 0}
             )
         state.update((seen + len(urls),))
+        if ttl_ms is not None and max_ts_ms is not None:
+            # evict when the watermark passes last-sighting + TTL (must
+            # stay ahead of the current watermark or Spark rejects it)
+            state.setTimeoutTimestamp(
+                max(max_ts_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
         yield pd.DataFrame(
             out, columns=["doc_sha", "url", "dup_index"]
         )
@@ -120,7 +163,7 @@ def stream_dedup(docs: DataFrame) -> DataFrame:
         outputStructType="doc_sha string, url string, dup_index int",
         stateStructType="seen long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )
 
 

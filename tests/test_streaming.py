@@ -280,3 +280,66 @@ def test_curate_stream_job_cli(spark, tmp_path):
     sample = list(exp)[:50]
     for did in sample:
         assert got[did] == exp[did]
+
+def test_stream_dedup_event_time_ttl(spark, tmp_path):
+    """Bounded-state dedup: event-time TTL eviction is deterministic
+    (no wall clock) — a sha unseen for the TTL in EVENT time is evicted
+    once the watermark passes; within the horizon it still dedups; an
+    availableNow drain terminates (ProcessingTimeTimeout would hang it,
+    which is why the operator uses EventTimeTimeout)."""
+    import datetime as dt
+
+    from pdf_parser_spark.streaming import stream_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    feed = str(tmp_path / "efeed")
+    out = str(tmp_path / "eout")
+    ck = str(tmp_path / "eck")
+    schema_str = "url string, doc_sha string, ts timestamp"
+
+    def drain():
+        s = spark.readStream.schema(schema_str).parquet(feed)
+        q = (
+            stream_dedup(s, ttl_minutes=10)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(480), "drain did not terminate"
+
+    def emitted():
+        return sorted(
+            (r.url, r.doc_sha) for r in spark.read.parquet(out).collect()
+        )
+
+    def feed_rows(rows):
+        spark.createDataFrame(rows, schema_str).write.mode(
+            "append"
+        ).parquet(feed)
+
+    feed_rows([("u1", "A", at(0)), ("u2", "A", at(1)), ("u3", "B", at(0))])
+    drain()
+    assert emitted() == [("u1", "A"), ("u3", "B")]
+
+    # within the 10-min horizon: still a duplicate
+    feed_rows([("u5", "B", at(5))])
+    drain()
+    assert emitted() == [("u1", "A"), ("u3", "B")]
+
+    # jump event time far ahead: watermark (max_ts - ttl) passes both
+    # timers (A: at(1)+10, B: at(5)+10) -> evicted during this drain
+    feed_rows([("u9", "C", at(40))])
+    drain()
+    assert ("u9", "C") in emitted()
+
+    # A was forgotten -> re-admitted
+    feed_rows([("u4", "A", at(41))])
+    drain()
+    assert ("u4", "A") in emitted()
