@@ -2062,6 +2062,49 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition report over an ordered filter chain (one
+    scan, one aggregate, stack-unpivoted — functions/curation.py
+    filter_funnel). Stages: min length, known language, source blocklist."""
+    from pdf_parser_spark.functions import filter_funnel
+
+    d = _load(spark, sf_dir, "documents")
+    return filter_funnel(
+        d,
+        [
+            ("min_len", F.col("n_chars") >= 200),
+            ("lang_known", F.col("lang") != "und"),
+            ("source_ok", F.col("source") != "src0"),
+        ],
+    )
+
+
+Q_FILTER_FUNNEL_ORACLE = """
+WITH agg AS (
+  SELECT count(*) AS n0,
+         CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+              AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN n_chars >= 200 AND lang <> 'und'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN n_chars >= 200 AND lang <> 'und'
+                            AND source <> 'src0'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS s2
+  FROM documents
+)
+SELECT stage, docs_in, docs_out, docs_in - docs_out AS dropped,
+       CASE WHEN docs_in > 0
+            THEN round((docs_in - docs_out) * 1.0 / docs_in, 4)
+            ELSE 0.0 END AS drop_pct
+FROM (
+  SELECT 'min_len' AS stage, n0 AS docs_in, s0 AS docs_out FROM agg
+  UNION ALL
+  SELECT 'lang_known', s0, s1 FROM agg
+  UNION ALL
+  SELECT 'source_ok', s1, s2 FROM agg
+)
+"""
+
+
 def q_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive quality cutoff: drop the shortest quartile by n_chars —
     the threshold is the corpus's exact p25, learned in a scalar
@@ -2582,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_coverage": q_dup_coverage,
         "tfidf_keywords": q_tfidf_keywords,
         "percentile_filter": q_percentile_filter,
+        "filter_funnel": q_filter_funnel,
         "cut_passages": q_cut_passages,
         "decontaminate": q_decontaminate,
         "unigram_logprob": q_unigram_logprob,
@@ -2649,6 +2693,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_coverage": Q_DUP_COVERAGE_ORACLE,
         "tfidf_keywords": Q_TFIDF_ORACLE,
         "percentile_filter": Q_PERCENTILE_FILTER_ORACLE,
+        "filter_funnel": Q_FILTER_FUNNEL_ORACLE,
         "cut_passages": Q_CUT_PASSAGES_ORACLE,
         "decontaminate": Q_DECONTAMINATE_ORACLE,
         "unigram_logprob": Q_UNIGRAM_LOGPROB_ORACLE,

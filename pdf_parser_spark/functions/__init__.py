@@ -51,6 +51,7 @@ from .quality import (  # noqa: F401
 from .curation import (  # noqa: F401
     CurationResult,
     curate,
+    filter_funnel,
 )
 from .tokenize import (  # noqa: F401
     bpe_apply,

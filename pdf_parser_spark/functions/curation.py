@@ -261,3 +261,60 @@ def curate(
          "default_pct": default_pct},
     )
     return CurationResult(curated=curated, audit=audit, survivors=survivors)
+
+
+def filter_funnel(
+    df: DataFrame, stages: list[tuple[str, "F.Column"]]
+) -> DataFrame:
+    """Per-stage attrition report for a filter chain — the audit table a
+    curation run publishes next to its output ("we started with N docs;
+    quality cut X%, language cut Y%, ..."). Stages apply IN ORDER: a
+    document is charged to the FIRST stage that rejects it.
+
+    One corpus pass, one aggregate row: the cumulative AND of the stage
+    predicates is evaluated per row (pure codegen), each stage's
+    survivor count is a conditional sum in a single map-side-combining
+    aggregate, and the k-row report is unpivoted from that one row with
+    ``stack`` — no per-stage scan, no driver loop over data.
+
+    Output: (stage, docs_in, docs_out, dropped, drop_pct[4dp]), one row
+    per stage in application order.
+    """
+    if not stages:
+        raise ValueError("filter_funnel needs at least one stage")
+    cum = None
+    sums = [F.count(F.lit(1)).alias("_n0")]
+    for i, (_, cond) in enumerate(stages):
+        cum = cond if cum is None else (cum & cond)
+        sums.append(
+            F.sum(F.when(cum, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"_s{i}")
+        )
+    row = df.agg(*sums)
+    pairs = []
+    for i, (name, _) in enumerate(stages):
+        prev = "_n0" if i == 0 else f"_s{i - 1}"
+        pairs.append(f"'{name}', {prev}, _s{i}")
+    k = len(stages)
+    stacked = row.select(
+        F.expr(
+            f"stack({k}, {', '.join(pairs)}) AS (stage, docs_in, docs_out)"
+        )
+    )
+    return stacked.select(
+        "stage",
+        F.col("docs_in").cast("long").alias("docs_in"),
+        F.col("docs_out").cast("long").alias("docs_out"),
+        (F.col("docs_in") - F.col("docs_out")).cast("long").alias("dropped"),
+        F.when(
+            F.col("docs_in") > 0,
+            F.round(
+                (F.col("docs_in") - F.col("docs_out"))
+                / F.col("docs_in"),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("drop_pct"),
+    )

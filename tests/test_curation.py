@@ -230,3 +230,48 @@ def test_curate_string_ids_with_normalize(spark):
                  normalize=True).curated
     assert {r.doc_id for r in out.collect()} <= {f"doc-{i}" for i in range(5)}
     assert out.count() >= 1
+
+
+def test_filter_funnel(spark):
+    """First-failing-stage attribution, ordered application, one-pass
+    plan (single aggregate, no per-stage scans)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.functions import filter_funnel
+    from tests.test_plans import count_nodes, plan_of
+
+    docs = spark.createDataFrame(
+        [
+            (1, 100, "en"),   # passes both
+            (2, 10, "en"),    # fails len (charged to len even though lang ok)
+            (3, 100, "und"),  # passes len, fails lang
+            (4, 5, "und"),    # fails BOTH -> charged to len only
+        ],
+        "doc_id long, n_chars long, lang string",
+    )
+    out = filter_funnel(
+        docs,
+        [
+            ("min_len", F.col("n_chars") >= 50),
+            ("lang_known", F.col("lang") != "und"),
+        ],
+    )
+    rows = {r["stage"]: r for r in out.collect()}
+    assert rows["min_len"]["docs_in"] == 4
+    assert rows["min_len"]["docs_out"] == 2
+    assert rows["min_len"]["dropped"] == 2 and rows["min_len"]["drop_pct"] == 0.5
+    assert rows["lang_known"]["docs_in"] == 2
+    assert rows["lang_known"]["docs_out"] == 1
+    assert rows["lang_known"]["drop_pct"] == 0.5
+
+    plan = plan_of(out)
+    assert count_nodes(plan, "Scan ExistingRDD") + count_nodes(
+        plan, "FileScan parquet"
+    ) <= 1  # one pass over the input
+    # partial + final agg only (AQE's final-plan section may repeat the
+    # node, so bound rather than pin the exact count)
+    assert 2 <= count_nodes(plan, "HashAggregate") <= 4
+
+    with _pytest.raises(ValueError):
+        filter_funnel(docs, [])
