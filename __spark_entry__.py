@@ -1994,6 +1994,37 @@ FROM h ANTI JOIN bad ON h.doc_id = bad.doc_id
 """
 
 
+def q_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup: odd-id docs are the new
+    dump, even-id docs the accumulated reference; output = new docs
+    whose text content is genuinely unseen. The broadcast-bloom path
+    must equal the plain anti-join exactly (functions/dedup.py
+    bloom_new_docs); the oracle IS the plain anti-join."""
+    from pdf_parser_spark.functions import bloom_new_docs
+
+    d = _load(spark, sf_dir, "documents")
+    ref = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(F.sha2("text", 256).alias("doc_sha"))
+        .distinct()
+    )
+    new = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.sha2("text", 256).alias("doc_sha")
+    )
+    return bloom_new_docs(new, ref).select("doc_id")
+
+
+Q_BLOOM_INCREMENTAL_ORACLE = """
+WITH ref AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+),
+n AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+)
+SELECT n.doc_id FROM n ANTI JOIN ref ON n.h = ref.h
+"""
+
+
 def q_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplicated-token fraction (the filterable scalar from
     dup_spans_global; functions/dedup.py dup_coverage)."""
@@ -2585,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_cosine_topk": q_pq_cosine_topk,
         "minhash_lsh": q_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
+        "bloom_incremental": q_bloom_incremental,
         "simhash64": q_simhash,
         "winnow_fingerprints": q_winnow_fingerprints,
         "rollup_revenue": q_rollup_revenue,
@@ -2666,6 +2698,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": Q_NORMALIZE_ORACLE,
         "minhash_lsh": Q_MINHASH_ORACLE,
         "dedup_incremental": Q_DEDUP_INCREMENTAL_ORACLE,
+        "bloom_incremental": Q_BLOOM_INCREMENTAL_ORACLE,
         "simhash64": Q_SIMHASH_ORACLE,
         "simhash_near_dup": Q_SIMHASH_NEAR_DUP_ORACLE,
         "winnow_fingerprints": Q_WINNOW_ORACLE,

@@ -13,6 +13,7 @@ the cluster.
 from .dedup import (  # noqa: F401
     cut_duplicate_passages,
     decontaminate,
+    bloom_new_docs,
     dedup_clusters,
     dup_coverage,
     global_dup_spans,

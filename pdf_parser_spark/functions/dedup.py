@@ -1395,3 +1395,107 @@ def dup_coverage(
         F.round(F.col("dup_tokens") / F.col("n_tokens"), 4),
     ).otherwise(F.lit(0.0))
     return joined.withColumn("dup_frac", frac)
+
+
+def bloom_new_docs(
+    new: DataFrame,
+    ref: DataFrame,
+    key_col: str = "doc_sha",
+    m_bits: int = 1 << 23,
+    k: int = 7,
+) -> DataFrame:
+    """Incremental "which of these docs are genuinely new" against an
+    accumulated reference corpus, with a broadcast BLOOM prefilter so
+    the reference never shuffles per new dump.
+
+    The plain formulation (new left_anti ref on the key) shuffles the
+    reference's distinct keys on EVERY dump — at 10^12 accumulated docs
+    that is the dominant cost of a daily increment. The bloom move:
+
+    1. BUILD: one pass over ref's keys — each partition sets its k bit
+       positions in a local numpy bitmap, the per-partition bitmaps
+       (m_bits/8 bytes each, bounded metadata) OR-merge on the driver
+       and broadcast once (~1 MB at the 2^23 default);
+    2. PROBE: an Arrow pass over the new dump tests the k bits — a miss
+       is DEFINITELY unseen (Bloom filters have no false negatives), so
+       those rows exit through a pure filter, no join;
+    3. VERIFY: only the possible-positives (false-positive rate
+       ~(1-e^{-kn/m})^k, ~1% at 10 bits/key) join the reference
+       (left_semi would keep dups; left_anti emits the survivors) — the
+       join input is FP-sized, not dump-sized.
+
+    Bit positions use Kirsch-Mitzenmacher double hashing over the two
+    md5 halves (the repo's minhash precedent). Output: the ``new`` rows
+    whose key does not occur in ``ref`` — EXACTLY the left_anti result
+    (pinned by tests), at a fraction of its shuffle.
+    """
+    import numpy as np
+
+    spark = new.sparkSession
+    n_bytes = m_bits // 8
+
+    def _positions(key: str) -> "np.ndarray":
+        import hashlib
+
+        d = hashlib.md5(key.encode("utf-8")).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:], "big") | 1
+        return np.array(
+            [(h1 + i * h2) % m_bits for i in range(k)], dtype=np.int64
+        )
+
+    def build(batches):
+        import pandas as pd
+
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in batches:
+            for key in pdf[key_col]:
+                p = _positions(key)
+                # bitwise_or.at, NOT bits[idx] |= ...: fancy-index
+                # assignment silently drops duplicate byte indices
+                # (two positions in one byte -> a lost bit -> a FALSE
+                # NEGATIVE, the one failure a bloom must never have)
+                np.bitwise_or.at(
+                    bits, p >> 3, (1 << (p & 7)).astype(np.uint8)
+                )
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = ref.select(key_col).mapInPandas(
+        build, "bits binary"
+    ).collect()  # bounded: n_partitions x m/8 bytes of metadata
+    merged = np.zeros(n_bytes, dtype=np.uint8)
+    for r in parts:
+        merged |= np.frombuffer(r["bits"], dtype=np.uint8)
+    bc = spark.sparkContext.broadcast(merged.tobytes())
+
+    def probe(batches):
+        import pandas as pd
+
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            maybe = []
+            for key in pdf[key_col]:
+                p = _positions(key)
+                maybe.append(
+                    bool(np.all(bits[p >> 3] & (1 << (p & 7)) != 0))
+                )
+            out = pdf.copy()
+            out["_maybe_seen"] = pd.Series(maybe, index=pdf.index)
+            yield out
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    # StructType.add MUTATES in place (CLAUDE.md) — build a fresh one
+    schema = StructType(
+        list(new.schema.fields) + [StructField("_maybe_seen", BooleanType())]
+    )
+    probed = new.mapInPandas(probe, schema=schema).localCheckpoint(
+        eager=True  # two consumers below; the probe must not re-run
+    )
+    definite_new = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    survivors = (
+        probed.filter(F.col("_maybe_seen"))
+        .drop("_maybe_seen")
+        .join(ref.select(key_col).distinct(), key_col, "left_anti")
+    )
+    return definite_new.unionByName(survivors)

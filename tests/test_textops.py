@@ -1318,3 +1318,48 @@ def test_pack_shards_null_text(spark):
     }
     # null text = 0 tokens, occupies no budget
     assert got == {1: (2, 0), 2: (0, 0), 3: (3, 0)}
+
+
+def test_bloom_new_docs_equals_anti_join(spark):
+    """The bloom-prefiltered incremental dedup must return EXACTLY the
+    plain left_anti result (no false negatives by construction), and
+    only possible-positives may reach the verify join."""
+    from pdf_parser_spark.functions import bloom_new_docs
+
+    ref = spark.createDataFrame(
+        [(f"sha{i}", f"r{i}") for i in range(0, 400, 2)],
+        "doc_sha string, url string",
+    )
+    new = spark.createDataFrame(
+        [(f"sha{i}", f"n{i}") for i in range(100, 300)],
+        "doc_sha string, url string",
+    )
+    got = sorted(
+        r["doc_sha"] for r in bloom_new_docs(new, ref).collect()
+    )
+    want = sorted(
+        r["doc_sha"]
+        for r in new.join(
+            ref.select("doc_sha").distinct(), "doc_sha", "left_anti"
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == 100  # odd shas in [100, 300)
+
+
+def test_bloom_new_docs_tiny_filter(spark):
+    """With a deliberately tiny bloom (high FP rate) the result is
+    STILL exact — false positives only cost verify-join traffic."""
+    from pdf_parser_spark.functions import bloom_new_docs
+
+    ref = spark.createDataFrame(
+        [(f"sha{i}",) for i in range(0, 100, 2)], "doc_sha string"
+    )
+    new = spark.createDataFrame(
+        [(f"sha{i}",) for i in range(100)], "doc_sha string"
+    )
+    got = sorted(
+        r["doc_sha"]
+        for r in bloom_new_docs(new, ref, m_bits=256, k=2).collect()
+    )
+    assert got == sorted(f"sha{i}" for i in range(1, 100, 2))
