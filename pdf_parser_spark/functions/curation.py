@@ -75,6 +75,7 @@ def curate(
     n: int = 3,
     threshold: float = 0.2,
     hash_fn: str = "xx",
+    keeper: str = "min_id",
     materialize_dir: str | None = None,
     input_fingerprint: str | None = None,
 ) -> CurationResult:
@@ -89,7 +90,15 @@ def curate(
     selects the
     cross-engine hash so a DuckDB replica can verify the whole
     composition (the contract variant); production default is
-    xxhash64."""
+    xxhash64.
+
+    ``keeper`` picks the near-dup cluster survivor: ``"min_id"``
+    (exact_dedup's rule, the contract default) or ``"longest"``
+    (keep the longest redacted text per cluster, ties to min id — the
+    keep-the-best-copy policy, via keep_best_per_cluster's
+    singleton-pass-through plan)."""
+    if keeper not in ("min_id", "longest"):
+        raise ValueError(f"keeper must be min_id|longest: {keeper}")
     spark = df.sparkSession
 
     # Cumulative stage fingerprint: each mat() folds (stage name, the
@@ -241,9 +250,22 @@ def curate(
     )
     clusters = mat(dedup_clusters(pairs), "clusters")
     audit["clusters"] = clusters
-    dupes = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        F.col("doc_id").alias(id_col)
-    )
+    if keeper == "min_id":
+        dupes = clusters.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select(F.col("doc_id").alias(id_col))
+    else:  # longest redacted text wins its cluster
+        from .dedup import keep_best_per_cluster
+
+        kb = keep_best_per_cluster(
+            docs.select(
+                F.col(id_col), F.length("clean_text").alias("_len")
+            ),
+            clusters.select(F.col("doc_id").alias(id_col), "cluster_id"),
+            "_len",
+            id_col=id_col,
+        )
+        dupes = kb.filter(~F.col("kept")).select(id_col)
     survivors = docs.join(dupes, on=id_col, how="left_anti")
 
     # 4. deterministic stratified sampling (engine/partitioning/resume
@@ -257,8 +279,11 @@ def curate(
             id_col=id_col,
         ),
         "curated",
+        # keeper shapes the survivor set feeding this stage — it must
+        # be in the fingerprint or a --keeper change would silently
+        # reuse a stale curated table
         {"rates": rates, "strata_col": strata_col,
-         "default_pct": default_pct},
+         "default_pct": default_pct, "keeper": keeper},
     )
     return CurationResult(curated=curated, audit=audit, survivors=survivors)
 

@@ -56,6 +56,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="cap docs per host (needs --url-col)")
     ap.add_argument("--threshold", type=float, default=0.2,
                     help="near-dup Jaccard threshold")
+    ap.add_argument("--keeper", choices=("min_id", "longest"),
+                    default="min_id",
+                    help="near-dup cluster survivor policy")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -81,6 +84,7 @@ def main(argv: list[str] | None = None) -> int:
             normalize=args.normalize,
             repetition_filter=args.repetition_filter,
             threshold=args.threshold,
+            keeper=args.keeper,
             materialize_dir=f"{args.output}/stages",
             input_fingerprint=args.input,
         )
