@@ -1385,6 +1385,50 @@ FROM joined
 )
 
 
+def q_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free train/val/test split keyed on near-dup clusters (same
+    chain as dedup_clusters; functions/sampling.py dedup_aware_split) —
+    near-duplicates can never straddle a split boundary."""
+    from pdf_parser_spark.functions import (
+        dedup_aware_split,
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    clusters = dedup_clusters(pairs)
+    return dedup_aware_split(
+        docs, clusters, weights=[("train", 60), ("val", 20), ("test", 20)]
+    )
+
+
+Q_DEDUP_SPLIT_ORACLE = (
+    _CLUSTERS_CTES
+    + """
+, clus AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+),
+keyed AS (
+  SELECT d.doc_id,
+         CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR) AS split_key
+  FROM documents d LEFT JOIN clus c USING (doc_id)
+),
+b AS (
+  SELECT doc_id, split_key,
+         CAST('0x' || substr(md5('s0:' || split_key), 1, 15) AS BIGINT)
+           % 100 AS bucket
+  FROM keyed
+)
+SELECT doc_id, split_key, bucket,
+       CASE WHEN bucket < 60 THEN 'train'
+            WHEN bucket < 80 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction over a deterministic mixed-container
     media table (FAKE synth + real BMP/WAV/PNG + error rows). Oracle is
@@ -2640,6 +2684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
+        "dedup_split": q_dedup_split,
         "multimodal_features": q_multimodal_features,
         "gopher_filter": q_gopher_filter,
         "stratified_sample": q_stratified_sample,
@@ -2709,6 +2754,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": Q_LANGUAGE_ID_ORACLE,
         "dedup_clusters": Q_DEDUP_CLUSTERS_ORACLE,
         "dedup_keep_best": Q_KEEP_BEST_ORACLE,
+        "dedup_split": Q_DEDUP_SPLIT_ORACLE,
         "multimodal_features": _VALUES.MULTIMODAL_ORACLE,
         "gopher_filter": Q_GOPHER_ORACLE,
         "stratified_sample": Q_STRATIFIED_ORACLE,

@@ -70,6 +70,7 @@ from .asof import (  # noqa: F401
     asof_join,
 )
 from .sampling import (  # noqa: F401
+    dedup_aware_split,
     deterministic_sample,
     pack_shards,
     stratified_sample,

@@ -149,3 +149,59 @@ def pack_shards(
     return ranged.mapInPandas(
         assign, f"{id_col} {id_type}, n_tokens long, shard_id long"
     )
+
+
+def dedup_aware_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    weights: list[tuple[str, int]] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Leak-free train/val/test assignment: the split is keyed on the
+    near-dup CLUSTER, not the document, so two near-duplicates can never
+    land on opposite sides of a train/test boundary — the classic
+    contamination a naive per-doc random split causes (and the reason
+    dedup pipelines exist at all).
+
+    ``clusters`` is (id_col, cluster_id) from :func:`dedup_clusters`;
+    unclustered docs are their own key. Assignment is the deterministic
+    md5 lottery (stratified_sample's rule): bucket =
+    h64(salt:key) mod 100, carved by cumulative ``weights``
+    (default train 98 / val 1 / test 1). Pure projection + one
+    broadcast join — no shuffle, stable across engines, partitionings
+    and reruns.
+
+    Output: (id_col, split_key, bucket, split).
+    """
+    from .hashing import hash64
+
+    if weights is None:
+        weights = [("train", 98), ("val", 1), ("test", 1)]
+    if sum(w for _, w in weights) != 100:
+        raise ValueError(f"weights must sum to 100: {weights}")
+    clusters = clusters.select(
+        F.col(clusters.columns[0]).alias(id_col),
+        F.col("cluster_id"),
+    )
+    joined = df.select(id_col).join(F.broadcast(clusters), id_col, "left")
+    key = F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("string")
+    bucket = F.pmod(
+        hash64(F.concat(F.lit(f"{salt}:"), key), "md5"), F.lit(100)
+    )
+    expr = None
+    cum = 0
+    for name, w in weights:
+        cum += w
+        cond = F.col("bucket") < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return (
+        joined.select(
+            F.col(id_col),
+            key.alias("split_key"),
+            bucket.alias("bucket"),
+        )
+        .withColumn("split", expr)
+    )

@@ -1363,3 +1363,44 @@ def test_bloom_new_docs_tiny_filter(spark):
         for r in bloom_new_docs(new, ref, m_bits=256, k=2).collect()
     )
     assert got == sorted(f"sha{i}" for i in range(1, 100, 2))
+
+
+def test_dedup_aware_split(spark):
+    """Every member of a near-dup cluster lands in the SAME split; the
+    assignment is deterministic; weights must sum to 100."""
+    import pytest as _pytest
+
+    from pdf_parser_spark.functions import dedup_aware_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(300)], "doc_id long"
+    )
+    # 50 clusters of 3 consecutive docs each, plus 150 singletons
+    clusters = spark.createDataFrame(
+        [(i, (i // 3) * 3) for i in range(150)],
+        "doc_id long, cluster_id long",
+    )
+    out = dedup_aware_split(
+        docs, clusters, weights=[("train", 60), ("val", 20), ("test", 20)]
+    )
+    rows = {r["doc_id"]: (r["split_key"], r["split"]) for r in out.collect()}
+    assert len(rows) == 300
+    # cluster members agree on key AND split
+    for base in range(0, 150, 3):
+        trio = {rows[base + j] for j in range(3)}
+        assert len(trio) == 1, (base, trio)
+    # singletons key on themselves
+    assert rows[200][0] == "200"
+    # all three splits occur and are deterministic across calls
+    splits = {s for _, s in rows.values()}
+    assert splits == {"train", "val", "test"}
+    again = {
+        r["doc_id"]: r["split"]
+        for r in dedup_aware_split(
+            docs, clusters, weights=[("train", 60), ("val", 20), ("test", 20)]
+        ).collect()
+    }
+    assert again == {k: v for k, (_, v) in rows.items()}
+
+    with _pytest.raises(ValueError):
+        dedup_aware_split(docs, clusters, weights=[("train", 50)])

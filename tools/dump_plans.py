@@ -199,6 +199,41 @@ def main() -> None:
         plan_of(global_dup_spans(d, min_len=8), "simple"),
     ))
 
+    from pdf_parser_spark.functions import filter_funnel
+
+    sections.append((
+        "filter_funnel (attrition report, one pass)",
+        "The whole funnel is ONE map-side-combining aggregate over one "
+        "scan — each stage's survivor count is a conditional sum of the "
+        "cumulative predicate — and the per-stage rows unpivot from the "
+        "single result row with stack. No per-stage scans, no driver "
+        "loop over data.",
+        plan_of(
+            filter_funnel(
+                d,
+                [
+                    ("min_len", F.col("n_chars") >= 200),
+                    ("lang_known", F.col("lang") != "und"),
+                ],
+            ),
+            "simple",
+        ),
+    ))
+
+    from pdf_parser_spark.functions import dedup_aware_split
+
+    clusters2 = spark.createDataFrame(
+        [(0, 0), (1, 0)], "doc_id long, cluster_id long"
+    )
+    sections.append((
+        "dedup_aware_split (leak-free train/val/test)",
+        "Split keyed on the near-dup cluster: one BROADCAST join of the "
+        "edge-sized cluster relation + a pure md5-lottery projection — "
+        "zero shuffles, and near-duplicates can never straddle a "
+        "train/test boundary.",
+        plan_of(dedup_aware_split(d, clusters2), "simple"),
+    ))
+
     spark.stop()
 
     with open("PLANS.md", "w") as f:
