@@ -1717,6 +1717,15 @@ FROM isl GROUP BY doc_id, bench_id, d, grp
 """
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-compressibility quality signal (gzip-ratio heuristic —
+    Dolma/RedPajama class; functions/quality.py compression_ratio).
+    Oracle is a VALUES literal from the pure-Python zlib replica."""
+    from pdf_parser_spark.functions import compression_ratio
+
+    return compression_ratio(_load(spark, sf_dir, "documents"))
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals (top-2gram / top-3gram coverage,
     duplicate-token fraction) + keep flag — the template-spam detector
@@ -2697,6 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "curation_pipeline": q_curation_pipeline,
         "repetition_stats": q_repetition_stats,
+        "compression_ratio": q_compression_ratio,
         "dup_passages": q_dup_passages,
         "dup_spans_global": q_dup_spans_global,
         "dup_coverage": q_dup_coverage,
@@ -2767,6 +2777,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": Q_STREAM_DEDUP_ORACLE,
         "curation_pipeline": Q_CURATION_ORACLE,
         "repetition_stats": Q_REPETITION_ORACLE,
+        "compression_ratio": _VALUES.COMPRESSION_ORACLE,
         "dup_passages": Q_DUP_PASSAGES_ORACLE,
         "dup_spans_global": Q_DUP_SPANS_GLOBAL_ORACLE,
         "dup_coverage": Q_DUP_COVERAGE_ORACLE,

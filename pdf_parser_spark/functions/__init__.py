@@ -39,6 +39,7 @@ from .similarity import (  # noqa: F401
 )
 from .quality import (  # noqa: F401
     bpe_token_stats,
+    compression_ratio,
     gopher_quality_filter,
     language_id,
     percentile_filter,

@@ -545,3 +545,60 @@ def percentile_filter(
         else F.col(metric_col) <= F.lit(thr)
     )
     return df.filter(cond).withColumn("threshold", F.lit(float(thr)))
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib-compressibility quality signal (the gzip-ratio heuristic of
+    Dolma/RedPajama-class pipelines): highly compressible text is
+    repetitive boilerplate/template spam; natural prose compresses to
+    ~0.3-0.6 of its bytes. Complements the token-level repetition_stats
+    (which counts exact n-gram repeats — zlib also catches long-range
+    and sub-token redundancy).
+
+    One Arrow pass, shuffle-free and embarrassingly parallel; zlib at a
+    FIXED level because the ratio must be deterministic across runs and
+    engines (the VALUES oracle replays the same bytes through the same
+    public algorithm).
+
+    Output: (id_col, n_bytes, n_compressed, ratio[4dp]); null text ->
+    zeros with ratio 0.0.
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            nb, nc = [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    nb.append(0)
+                    nc.append(0)
+                    continue
+                raw = t.encode("utf-8")
+                nb.append(len(raw))
+                # empty text reports 0, not zlib's 8-byte empty stream
+                nc.append(len(zlib.compress(raw, level)) if raw else 0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                }
+            )
+
+    out = df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, n_bytes long, n_compressed long"
+    )
+    ratio = F.when(
+        F.col("n_bytes") > 0,
+        F.round(F.col("n_compressed") / F.col("n_bytes"), 4),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("ratio", ratio)

@@ -1404,3 +1404,30 @@ def test_dedup_aware_split(spark):
 
     with _pytest.raises(ValueError):
         dedup_aware_split(docs, clusters, weights=[("train", 50)])
+
+
+def test_compression_ratio(spark):
+    """Repetitive text compresses far below diverse text; null/empty
+    rows report zeros; ratio matches a direct zlib computation."""
+    import zlib
+
+    from pdf_parser_spark.functions import compression_ratio
+
+    diverse = (
+        "the quick brown fox jumps over a lazy dog while 42 red birds "
+        "watch quietly from seventeen tall green trees near my house"
+    )
+    docs = spark.createDataFrame(
+        [(1, "spam ham " * 200), (2, diverse), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_compressed"], r["ratio"])
+        for r in compression_ratio(docs).collect()
+    }
+    assert got[3] == (0, 0, 0.0) and got[4] == (0, 0, 0.0)
+    assert got[1][2] < 0.1 < got[2][2]  # boilerplate vs prose
+    raw = diverse.encode()
+    assert got[2][0] == len(raw)
+    assert got[2][1] == len(zlib.compress(raw, 6))
+    assert got[2][2] == round(got[2][1] / got[2][0], 4)

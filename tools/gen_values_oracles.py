@@ -504,6 +504,32 @@ def gen_bpe_apply_rows(
     return rows
 
 
+def gen_compression_rows(sf_dir: str) -> list[tuple]:
+    """Pure-Python replica of quality.compression_ratio (zlib level 6)
+    over the documents table: (doc_id, n_bytes, n_compressed,
+    ratio[4dp, Spark HALF_UP rounding])."""
+    import zlib
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+    out = []
+    for doc_id, text in rows:
+        raw = (text or "").encode("utf-8")
+        nb = len(raw)
+        nc = len(zlib.compress(raw, 6)) if nb else 0
+        ratio = (
+            Decimal(repr(nc / nb)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+            if nb
+            else Decimal("0.0")
+        )
+        out.append((doc_id, nb, nc, ratio))
+    return out
+
+
 def _sql_str(v) -> str:
     if v is None:
         return "NULL"
@@ -580,6 +606,21 @@ def build() -> str:
         ") AS t(doc_id, n_tokens, n_token_types, tokens_h)"
     )
 
+    comp_rows = gen_compression_rows(SF_DIR)
+    comp_values = ",\n".join(
+        f"  ({i}, {nb}, {nc}, {r})" for (i, nb, nc, r) in comp_rows
+    )
+    comp_sql = (
+        "-- VALUES-ORACLE(sf0.01): pure-python zlib replica, "
+        "tools/gen_values_oracles.py\n"
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,\n"
+        "       CAST(n_bytes AS BIGINT) AS n_bytes,\n"
+        "       CAST(n_compressed AS BIGINT) AS n_compressed,\n"
+        "       CAST(ratio AS DOUBLE) AS ratio\n"
+        f"FROM (VALUES\n{comp_values}\n"
+        ") AS t(doc_id, n_bytes, n_compressed, ratio)"
+    )
+
     mm_rows = gen_multimodal_rows()
     def _cell(v):
         if v is None:
@@ -620,7 +661,8 @@ def build() -> str:
         f"IVF_TOPK_ORACLE = {ivf_sql!r}\n\n"
         f"Q8_TOPK_ORACLE = {q8_sql!r}\n\n"
         f"PQ_TOPK_ORACLE = {pq_sql!r}\n\n"
-        f"BPE_APPLY_ORACLE = {bpe_sql!r}\n"
+        f"BPE_APPLY_ORACLE = {bpe_sql!r}\n\n"
+        f"COMPRESSION_ORACLE = {comp_sql!r}\n"
     )
     return body
 
