@@ -320,7 +320,8 @@ def filter_funnel(
     pairs = []
     for i, (name, _) in enumerate(stages):
         prev = "_n0" if i == 0 else f"_s{i - 1}"
-        pairs.append(f"'{name}', {prev}, _s{i}")
+        esc = name.replace("'", "''")  # stage names reach a SQL literal
+        pairs.append(f"'{esc}', {prev}, _s{i}")
     k = len(stages)
     stacked = row.select(
         F.expr(

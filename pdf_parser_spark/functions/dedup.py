@@ -1425,14 +1425,31 @@ def bloom_new_docs(
        join input is FP-sized, not dump-sized.
 
     Bit positions use Kirsch-Mitzenmacher double hashing over the two
-    md5 halves (the repo's minhash precedent). Output: the ``new`` rows
-    whose key does not occur in ``ref`` — EXACTLY the left_anti result
-    (pinned by tests), at a fraction of its shuffle.
+    md5 halves (the repo's minhash precedent). NULL keys match nothing
+    (anti-join semantics) — they skip the bloom and are kept. Output:
+    the ``new`` rows whose key does not occur in ``ref`` — EXACTLY the
+    left_anti result (pinned by tests).
+
+    What the bloom buys, precisely: the NEW side of the verify join
+    shrinks from dump-sized to FP-sized, and ref's distinct keys are
+    computed and materialized ONCE (one checkpoint feeds both the
+    build and the verify). The verify join still hashes ref's keys
+    when above the broadcast threshold — at true incremental scale the
+    accumulated key table is kept BUCKETED on the key
+    (sources/io.write_bucketed) so its verify side is exchange-free.
+    Driver memory for the build is bounded: the slim key relation
+    coalesces to <= 64 partitions, one m_bits/8-byte bitmap each.
     """
     import numpy as np
 
     spark = new.sparkSession
     n_bytes = m_bits // 8
+    ref_keys = (
+        ref.select(key_col)
+        .filter(F.col(key_col).isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by BOTH build and verify
+    )
 
     def _positions(key: str) -> "np.ndarray":
         import hashlib
@@ -1450,6 +1467,8 @@ def bloom_new_docs(
         bits = np.zeros(n_bytes, dtype=np.uint8)
         for pdf in batches:
             for key in pdf[key_col]:
+                if key is None:
+                    continue
                 p = _positions(key)
                 # bitwise_or.at, NOT bits[idx] |= ...: fancy-index
                 # assignment silently drops duplicate byte indices
@@ -1460,9 +1479,10 @@ def bloom_new_docs(
                 )
         yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-    parts = ref.select(key_col).mapInPandas(
+    n_build_parts = min(64, ref_keys.rdd.getNumPartitions() or 1)
+    parts = ref_keys.coalesce(n_build_parts).mapInPandas(
         build, "bits binary"
-    ).collect()  # bounded: n_partitions x m/8 bytes of metadata
+    ).collect()  # bounded: <= 64 x m/8 bytes of metadata on the driver
     merged = np.zeros(n_bytes, dtype=np.uint8)
     for r in parts:
         merged |= np.frombuffer(r["bits"], dtype=np.uint8)
@@ -1475,6 +1495,9 @@ def bloom_new_docs(
         for pdf in batches:
             maybe = []
             for key in pdf[key_col]:
+                if key is None:  # null matches nothing: definitely new
+                    maybe.append(False)
+                    continue
                 p = _positions(key)
                 maybe.append(
                     bool(np.all(bits[p >> 3] & (1 << (p & 7)) != 0))
@@ -1496,6 +1519,6 @@ def bloom_new_docs(
     survivors = (
         probed.filter(F.col("_maybe_seen"))
         .drop("_maybe_seen")
-        .join(ref.select(key_col).distinct(), key_col, "left_anti")
+        .join(ref_keys, key_col, "left_anti")
     )
     return definite_new.unionByName(survivors)

@@ -180,10 +180,11 @@ def dedup_aware_split(
         weights = [("train", 98), ("val", 1), ("test", 1)]
     if sum(w for _, w in weights) != 100:
         raise ValueError(f"weights must sum to 100: {weights}")
-    clusters = clusters.select(
-        F.col(clusters.columns[0]).alias(id_col),
-        F.col("cluster_id"),
-    )
+    # bind BOTH columns by name (dedup_clusters emits doc_id/cluster_id;
+    # positional binding would silently swap key and id on a reordered
+    # frame — and a swapped split_key is exactly the train/test leak
+    # this operator exists to prevent)
+    clusters = clusters.select(F.col(id_col), F.col("cluster_id"))
     joined = df.select(id_col).join(F.broadcast(clusters), id_col, "left")
     key = F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("string")
     bucket = F.pmod(

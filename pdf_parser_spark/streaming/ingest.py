@@ -140,8 +140,15 @@ def stream_dedup(
         for pdf in pdfs:
             urls.extend(pdf["url"])
             if ttl_ms is not None and len(pdf):
-                m = int(pdf[ts_col].max().value // 1_000_000)
-                max_ts_ms = m if max_ts_ms is None else max(max_ts_ms, m)
+                # dropna: an all-NULL ts group would otherwise yield
+                # NaT (int64-min), collapsing the timer to watermark+1
+                # and evicting the sha on the next tick
+                ts_vals = pdf[ts_col].dropna()
+                if len(ts_vals):
+                    m = int(ts_vals.max().value // 1_000_000)
+                    max_ts_ms = (
+                        m if max_ts_ms is None else max(max_ts_ms, m)
+                    )
         out = []
         if seen == 0 and urls:
             out.append(

@@ -329,3 +329,13 @@ def test_curate_keeper_longest(spark):
 
     with _pytest.raises(ValueError):
         curate(docs, keeper="newest", **kw)
+
+
+def test_filter_funnel_quoted_stage_name(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.functions import filter_funnel
+
+    docs = spark.createDataFrame([(1, 5), (2, 50)], "doc_id long, n long")
+    out = filter_funnel(docs, [("n >= '10'", F.col("n") >= 10)]).collect()
+    assert out[0]["stage"] == "n >= '10'" and out[0]["docs_out"] == 1

@@ -1431,3 +1431,36 @@ def test_compression_ratio(spark):
     assert got[2][0] == len(raw)
     assert got[2][1] == len(zlib.compress(raw, 6))
     assert got[2][2] == round(got[2][1] / got[2][0], 4)
+
+
+def test_bloom_new_docs_null_keys(spark):
+    """NULL keys match nothing (anti-join semantics): kept, no crash."""
+    from pdf_parser_spark.functions import bloom_new_docs
+
+    ref = spark.createDataFrame(
+        [("a",), (None,)], "doc_sha string"
+    )
+    new = spark.createDataFrame(
+        [("a", 1), (None, 2), ("b", 3)], "doc_sha string, doc_id long"
+    )
+    got = sorted(
+        r["doc_id"] for r in bloom_new_docs(new, ref).collect()
+    )
+    assert got == [2, 3]
+
+
+def test_dedup_aware_split_column_order_safe(spark):
+    """A clusters frame with reordered columns binds by NAME — the
+    split is identical, never silently key-swapped."""
+    from pdf_parser_spark.functions import dedup_aware_split
+
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    c1 = spark.createDataFrame(
+        [(i, (i // 3) * 3) for i in range(15)],
+        "doc_id long, cluster_id long",
+    )
+    c2 = c1.select("cluster_id", "doc_id")  # reordered
+    w = [("train", 60), ("val", 20), ("test", 20)]
+    s1 = {r["doc_id"]: r["split"] for r in dedup_aware_split(docs, c1, w).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in dedup_aware_split(docs, c2, w).collect()}
+    assert s1 == s2
