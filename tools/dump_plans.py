@@ -234,6 +234,19 @@ def main() -> None:
         plan_of(dedup_aware_split(d, clusters2), "simple"),
     ))
 
+    from pdf_parser_spark.functions import bloom_new_docs
+
+    ref = d.select(F.sha2("text", 256).alias("doc_sha"))
+    newd = d.select("doc_id", F.sha2("text", 256).alias("doc_sha"))
+    sections.append((
+        "bloom_new_docs (broadcast-bloom exact increment)",
+        "Definite-new rows exit through a pure FILTER on the probed "
+        "column (no join at all); only the FP-sized possible-positives "
+        "reach the verify anti-join, whose ref side reads the ONE "
+        "checkpointed distinct-key table the bloom build also consumed.",
+        plan_of(bloom_new_docs(newd, ref), "simple"),
+    ))
+
     spark.stop()
 
     with open("PLANS.md", "w") as f:
