@@ -596,11 +596,15 @@ def _mk_incremental_oracle(num_perm=16, bands=4, n=3, threshold=0.5) -> str:
     )
     return f"""
 WITH toks AS (
+  -- TRY_CAST + IS NOT NULL matches the Spark side, which drops
+  -- NULL/non-numeric sources from BOTH sides (null comparisons filter)
+  -- instead of defaulting them to 'ref' (round-4 ADVICE)
   SELECT doc_id,
-         CASE WHEN CAST(substr(source, 4) AS INT) >= 10
+         CASE WHEN TRY_CAST(substr(source, 4) AS INT) >= 10
               THEN 'new' ELSE 'ref' END AS side,
          string_split(trim(text), ' ') AS ws
   FROM documents
+  WHERE TRY_CAST(substr(source, 4) AS INT) IS NOT NULL
 ),
 sh AS (
   SELECT DISTINCT doc_id, side,

@@ -168,6 +168,41 @@ def main() -> None:
             "extraction": sx,
         }
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full detail (per-run samples, spread bands, the local[32] smoke
+    # pass) goes to BENCH/last_draw.json; stdout carries ONE compact
+    # line. The driver's stdout tail capture is ~2000 chars — round 4's
+    # line (spread + smoke inlined) overflowed it and BENCH_r04.json
+    # recorded "parsed": null. Keep this line < ~1700 bytes: compact
+    # separators, medians only, minimal extraction summary.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_draw.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "cores": measure_cores,
+                "sf": sf_val,
+                "total": total,
+                "stats": stats,
+                "spread": spread,
+                "extraction": extraction,
+                "smoke": smoke,
+            },
+            f,
+            indent=1,
+        )
+
+    extraction_brief = (
+        {
+            "docs": extraction.get("docs"),
+            "wall_sec": extraction.get("wall_sec"),
+            "docs_per_sec": extraction.get("docs_per_sec"),
+        }
+        if extraction
+        else {}
+    )
     print(
         json.dumps(
             {
@@ -175,12 +210,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "cores": measure_cores,
+                "sf": sf_val,
                 "queries": queries,
-                "spread": spread,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "extraction": extraction,
-                "smoke": smoke,
-            }
+                "extraction": extraction_brief,
+            },
+            separators=(",", ":"),
         )
     )
 

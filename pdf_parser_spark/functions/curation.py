@@ -320,7 +320,10 @@ def filter_funnel(
     pairs = []
     for i, (name, _) in enumerate(stages):
         prev = "_n0" if i == 0 else f"_s{i - 1}"
-        esc = name.replace("'", "''")  # stage names reach a SQL literal
+        # stage names reach a SQL string literal: escape backslashes
+        # FIRST (Spark parses \-escapes when escapedStringLiterals is
+        # false, the default), then quotes
+        esc = name.replace("\\", "\\\\").replace("'", "\\'")
         pairs.append(f"'{esc}', {prev}, _s{i}")
     k = len(stages)
     stacked = row.select(

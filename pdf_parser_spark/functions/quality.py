@@ -530,8 +530,12 @@ def percentile_filter(
     """
     if keep not in ("above", "below"):
         raise ValueError(f"keep must be above|below: {keep}")
+    # backtick-quote the identifier: a metric column named with dots /
+    # spaces / hyphens must parse as ONE column reference, like every
+    # other operator that takes names via F.col (round-4 ADVICE)
+    mcol = metric_col.replace("`", "``")
     thr = df.agg(
-        F.round(F.expr(f"percentile({metric_col}, {q})"), 6).alias("t")
+        F.round(F.expr(f"percentile(`{mcol}`, {q})"), 6).alias("t")
     ).collect()[0]["t"]
     if thr is None:
         # empty input / all-null metric: no threshold exists — return
@@ -539,10 +543,9 @@ def percentile_filter(
         return df.filter(F.lit(False)).withColumn(
             "threshold", F.lit(None).cast("double")
         )
+    metric = F.col(f"`{mcol}`")  # same quoting: dots must not nest
     cond = (
-        F.col(metric_col) >= F.lit(thr)
-        if keep == "above"
-        else F.col(metric_col) <= F.lit(thr)
+        metric >= F.lit(thr) if keep == "above" else metric <= F.lit(thr)
     )
     return df.filter(cond).withColumn("threshold", F.lit(float(thr)))
 

@@ -737,6 +737,55 @@ def _make_pq_score_kernel(luts, r: int):
     return score
 
 
+def _make_exact_rerank_kernel(qside):
+    """Float exact-cosine rerank kernel for dim > 64 (PQ path).
+
+    ``qside`` is the already-collected [(query_id, qvec, qn), ...]
+    list. Each Arrow batch computes per-pair left-fold dots
+    (_lf_dot_rows) against the matching query vector — the exact IEEE
+    op sequence of the unrolled codegen sum the dim<=64 branch
+    generates, so the two branches agree bit-for-bit at any dim."""
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        # round-trip q through float32: the dim<=64 branch ships qvec
+        # as array<float> (then casts each element back to double in
+        # the codegen dot), so the kernel must see the same values
+        qmap = {
+            int(qid): (
+                np.asarray(qv, dtype=np.float32).astype(np.float64),
+                float(qn),
+            )
+            for qid, qv, qn in qside
+        }
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]
+            )
+            cn = pdf["cn"].to_numpy(dtype=np.float64)
+            qids = pdf["query_id"].to_numpy(dtype=np.int64)
+            cos = np.empty(len(pdf), dtype=np.float64)
+            for qid in np.unique(qids):
+                sel = qids == qid
+                qv, qn = qmap[int(qid)]
+                cos[sel] = _lf_dot_rows(C[sel], qv) / (qn * cn[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": qids,
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(
+                        dtype=np.int64
+                    ),
+                    "cosine": cos,
+                }
+            )
+
+    return score
+
+
 def pq_cosine_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -821,20 +870,19 @@ def pq_cosine_topk(
         .filter(F.col("crk") <= rerank)
         .select("query_id", "neighbor_id")
     )
-    qdf = df.sparkSession.createDataFrame(
-        qside, "query_id long, qvec array<float>, qn double"
+    joined = cand.join(
+        assigned.select(
+            F.col("nid").alias("neighbor_id"),
+            F.col("vec").alias("cvec"),
+            F.col("nrm").alias("cn"),
+        ),
+        "neighbor_id",
     )
-    exact = (
-        cand.join(
-            assigned.select(
-                F.col("nid").alias("neighbor_id"),
-                F.col("vec").alias("cvec"),
-                F.col("nrm").alias("cn"),
-            ),
-            "neighbor_id",
+    if dim <= 64:
+        qdf = df.sparkSession.createDataFrame(
+            qside, "query_id long, qvec array<float>, qn double"
         )
-        .join(F.broadcast(qdf), "query_id")
-        .select(
+        exact = joined.join(F.broadcast(qdf), "query_id").select(
             "query_id",
             "neighbor_id",
             (
@@ -842,7 +890,19 @@ def pq_cosine_topk(
                 / (F.col("qn") * F.col("cn"))
             ).alias("cosine"),
         )
-    )
+    else:
+        # dim > 64 would build ONE >64-term Add chain in the rerank —
+        # the same Janino / Catalyst-canonicalization ceiling the q8
+        # path guards (round-4 ADVICE). Score inside an Arrow kernel:
+        # the (tiny, already-collected) query side ships in the
+        # closure; the left-fold dot is bit-identical to the unrolled
+        # codegen sum (np.add.accumulate == same IEEE op sequence).
+        exact = joined.select(
+            "query_id", "neighbor_id", "cvec", "cn"
+        ).mapInPandas(
+            _make_exact_rerank_kernel(qside),
+            schema="query_id long, neighbor_id long, cosine double",
+        )
     w_k = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

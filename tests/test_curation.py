@@ -339,3 +339,17 @@ def test_filter_funnel_quoted_stage_name(spark):
     docs = spark.createDataFrame([(1, 5), (2, 50)], "doc_id long, n long")
     out = filter_funnel(docs, [("n >= '10'", F.col("n") >= 10)]).collect()
     assert out[0]["stage"] == "n >= '10'" and out[0]["docs_out"] == 1
+
+
+def test_filter_funnel_backslash_stage_name(spark):
+    """Stage names reach a Spark SQL string literal, which interprets
+    backslash escapes (escapedStringLiterals=false default) — a name
+    containing a backslash must round-trip verbatim (round-4 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.functions import filter_funnel
+
+    docs = spark.createDataFrame([(1, 5), (2, 50)], "doc_id long, n long")
+    name = r"regex \d+ and quote ' mix"
+    out = filter_funnel(docs, [(name, F.col("n") >= 10)]).collect()
+    assert out[0]["stage"] == name and out[0]["docs_out"] == 1

@@ -1046,6 +1046,52 @@ def test_pq_topk_recall_and_rerank(spark):
         assert pq_full[(i, 1)] == 100 + i
 
 
+def test_pq_wide_dim_kernel_rerank_matches_brute_force(spark):
+    """dim > 64 routes the exact rerank through the Arrow left-fold
+    kernel instead of a >64-term unrolled Add chain (the Janino /
+    canonicalization ceiling — round-4 ADVICE, mirroring the q8 guard).
+    With rerank >= corpus the kernel-reranked result must EQUAL brute
+    force: same pairs, bit-identical cosines (np.add.accumulate is the
+    same IEEE op sequence as the codegen/HOF left fold)."""
+    import numpy as np
+
+    from pdf_parser_spark.functions import (
+        brute_force_cosine_topk,
+        pq_cosine_topk,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    # float32-exact values: the PQ path carries vectors as
+    # array<float>, brute force as array<double> — quantizing the
+    # inputs to float32 makes every cast lossless so the bit-compare
+    # below is branch-independent
+    base = rng.standard_normal((8, 80)).astype(np.float32)
+    rows = []
+    for i in range(8):
+        rows.append((i, [float(x) for x in base[i]]))
+        twin = (
+            base[i]
+            + (0.01 * rng.standard_normal(80)).astype(np.float32)
+        ).astype(np.float32)
+        rows.append((100 + i, [float(x) for x in twin]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 8)
+
+    pq_full = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in pq_cosine_topk(
+            emb, q, k=1, m=8, ksub=4, rerank=16, dim=80
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in brute_force_cosine_topk(emb, q, k=1).collect()
+    }
+    assert pq_full == exact  # pairs AND bit-identical cosines
+    for i in range(8):
+        assert pq_full[(i, 1)][0] == 100 + i
+
+
 def test_bm25_ranking_properties(spark):
     """BM25 sanity: more query-term mass ranks higher; a doc matching a
     RARE term outranks one matching only a corpus-common term; docs
@@ -1304,6 +1350,23 @@ def test_percentile_filter_empty_input(spark):
     out = percentile_filter(docs, "score")
     assert out.collect() == []
     assert out.columns == ["doc_id", "score", "threshold"]
+
+
+def test_percentile_filter_odd_column_name(spark):
+    """Metric column names needing backticks (dots, spaces, hyphens)
+    must resolve as ONE column reference, not break the percentile
+    expression parse (round-4 ADVICE)."""
+    from pdf_parser_spark.functions import percentile_filter
+
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 5)],
+        ["doc_id", "quality.score-v2"],
+    )
+    out = percentile_filter(
+        docs, "quality.score-v2", q=0.5, keep="above"
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == [3, 4]
+    assert all(r["threshold"] == 2.5 for r in out)
 
 
 def test_pack_shards_null_text(spark):
