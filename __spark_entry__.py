@@ -1788,6 +1788,78 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_filter(_load(spark, sf_dir, "documents"))
 
 
+def q_gopher_filter_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK-aware Gopher filter (functions/textseg.py): unspaced zh/ja
+    text segments per-codepoint instead of reading as ONE giant token
+    (which the latin tokenizer drops as too_few_tokens + low_alpha —
+    round-4 VERDICT item 3). Runs over a deterministic unspaced-CJK
+    probe corpus (textseg.build_cjk_probe — the driver tables are
+    ASCII-only, so they cannot exercise this); the DuckDB oracle
+    recomputes the same rows with the RE2 twins of the Java regexes."""
+    from pdf_parser_spark.functions import gopher_quality_filter
+    from pdf_parser_spark.functions.textseg import build_cjk_probe
+
+    _ensure_pkg(spark)  # no _load here — self-ship the pkg explicitly
+    probe = spark.createDataFrame(
+        build_cjk_probe(), "doc_id long, text string, lang string"
+    )
+    out = gopher_quality_filter(probe, full_row=True, cjk=True)
+    return out.select("doc_id", "lang", "keep", "reasons")
+
+
+def _mk_gopher_cjk_oracle() -> str:
+    """DuckDB replica of q_gopher_filter_cjk: same probe VALUES, the
+    RE2 twins of textseg's CJK padding / alpha classes, and the cjk-mode
+    rule set (short_tokens skipped — CJK tokens are 1 char by
+    construction)."""
+    from pdf_parser_spark.functions.textseg import (
+        NON_ALPHA_CJK_CLASS,
+        build_cjk_probe,
+        duck_seg_tokens,
+    )
+
+    vals = ",\n  ".join(
+        "({}, '{}', '{}')".format(i, t.replace("'", "''"), lang)
+        for i, t, lang in build_cjk_probe()
+    )
+    tok = duck_seg_tokens("text", cjk=True)
+    return f"""
+WITH raw(doc_id, text, lang) AS (VALUES
+  {vals}
+),
+m AS (
+  SELECT doc_id, lang,
+         len({tok}) AS n_tok,
+         length(text) AS n_chars,
+         length(text) * 1.0 / greatest(len({tok}), 1) AS cpt,
+         length(regexp_replace(text, '{NON_ALPHA_CJK_CLASS}', '', 'g'))
+           * 1.0 / greatest(length(text), 1) AS alpha,
+         len(list_distinct({tok})) * 1.0
+           / greatest(len({tok}), 1) AS dr
+  FROM raw
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       concat_ws(',',
+         CASE WHEN n_tok < 10 THEN 'too_few_tokens' END,
+         CASE WHEN n_tok > 100000 THEN 'too_many_tokens' END,
+         CASE WHEN cpt > 12.0 THEN 'long_tokens' END,
+         CASE WHEN alpha < 0.4 THEN 'low_alpha' END,
+         CASE WHEN dr < 0.2 THEN 'repetitive' END
+       ) = '' AS keep,
+       concat_ws(',',
+         CASE WHEN n_tok < 10 THEN 'too_few_tokens' END,
+         CASE WHEN n_tok > 100000 THEN 'too_many_tokens' END,
+         CASE WHEN cpt > 12.0 THEN 'long_tokens' END,
+         CASE WHEN alpha < 0.4 THEN 'low_alpha' END,
+         CASE WHEN dr < 0.2 THEN 'repetitive' END
+       ) AS reasons
+FROM m
+"""
+
+
+Q_GOPHER_CJK_ORACLE = _mk_gopher_cjk_oracle()
+
+
 def _mk_gopher_ctes(src="documents", text="text") -> str:
     """DuckDB replica of gopher_quality_filter as a CTE chain ending in
     ``gq_r`` (doc_id, reasons) — shared by the standalone oracle and the
@@ -2700,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_split": q_dedup_split,
         "multimodal_features": q_multimodal_features,
         "gopher_filter": q_gopher_filter,
+        "gopher_filter_cjk": q_gopher_filter_cjk,
         "stratified_sample": q_stratified_sample,
         "pack_shards": q_pack_shards,
         "url_dedup": q_url_dedup,
@@ -2771,6 +2844,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_split": Q_DEDUP_SPLIT_ORACLE,
         "multimodal_features": _VALUES.MULTIMODAL_ORACLE,
         "gopher_filter": Q_GOPHER_ORACLE,
+        "gopher_filter_cjk": Q_GOPHER_CJK_ORACLE,
         "stratified_sample": Q_STRATIFIED_ORACLE,
         "pack_shards": Q_PACK_SHARDS_ORACLE,
         "url_dedup": Q_URL_DEDUP_ORACLE,

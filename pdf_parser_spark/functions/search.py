@@ -35,14 +35,21 @@ def bm25_search(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cjk: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents for a bag-of-words query under BM25.
 
     Returns (doc_id, score, rank); score = sum over matched query terms
     of idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), with
     idf(t) = ln((N - df_t + 0.5)/(df_t + 0.5) + 1), rounded to 4 dp.
+
+    ``cjk=True`` segments CJK codepoints as single-char terms (textseg)
+    — query terms can then be individual ideographs and match unspaced
+    zh/ja documents.
     """
-    words = F.split(F.trim(F.col(text_col)), " ")
+    from pdf_parser_spark.functions.textseg import seg_tokens
+
+    words = seg_tokens(F.col(text_col), cjk)
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(words).alias("w")
     ).filter(F.col("w") != "")
@@ -137,6 +144,7 @@ def tfidf_keywords(
     min_df: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cjk: bool = False,
 ) -> DataFrame:
     """Top-``k`` characteristic terms per document by tf-idf (the
     per-doc keyword signal an analyst or a topic-sampler consumes):
@@ -152,8 +160,12 @@ def tfidf_keywords(
     construction.  ``min_df`` can prune hapax noise before the join.
 
     Output: (doc_id, term, score, rank), rank 1..k per doc.
+
+    ``cjk=True``: CJK codepoints segment as single-char terms (textseg).
     """
-    words = F.split(F.trim(F.col(text_col)), " ")
+    from pdf_parser_spark.functions.textseg import seg_tokens
+
+    words = seg_tokens(F.col(text_col), cjk)
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(words).alias("w")
     ).filter(F.col("w") != "")

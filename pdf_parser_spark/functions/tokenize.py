@@ -90,6 +90,7 @@ def chunk_documents(
     stride: int = 96,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cjk: bool = False,
 ) -> DataFrame:
     """Split documents into fixed-size token windows with overlap — the
     document -> training-context splitter (stride < chunk_tokens gives
@@ -104,7 +105,11 @@ def chunk_documents(
     per-pair scoring, not a single linear pass)."""
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
-    toks = F.array_remove(F.split(F.trim(F.col(text_col)), " "), "")
+    from pdf_parser_spark.functions.textseg import seg_tokens
+
+    # cjk=True: unspaced zh/ja text chunks per-codepoint instead of
+    # emitting ONE giant "token" chunk (textseg)
+    toks = F.array_remove(seg_tokens(F.col(text_col), cjk), "")
     n = F.size(toks)
     # a start s > 0 whose window would end at or before the PREVIOUS
     # window's end (s - stride + chunk >= n) is a strict subset of it —

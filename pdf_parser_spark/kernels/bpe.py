@@ -21,10 +21,17 @@ from __future__ import annotations
 import hashlib
 import re
 
-# Pre-tokenizer: letter runs / digit runs / punctuation runs (the same
-# class structure as quality.BPE_PATTERN, applied with Python `re` on
-# both engines). No lookaheads, no case folding.
-PRETOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+")
+# Pre-tokenizer: one token per CJK codepoint, then letter runs / digit
+# runs / punctuation runs (the same class structure as
+# quality.BPE_PATTERN, applied with Python `re` on both engines — the
+# CJK ranges here are the Python-syntax twin of textseg.CJK_RANGES).
+# No lookaheads, no case folding. Without the CJK branch an unspaced
+# zh run is ONE punctuation-run "word", so BPE merges learn nothing
+# from it; per-char pretokens are the standard fix.
+_CJK = "㐀-䶿一-鿿豈-﫿぀-ヿㇰ-ㇿ"
+PRETOKEN_RE = re.compile(
+    f"[{_CJK}]|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s{_CJK}]+"
+)
 
 
 def pretokenize(text: str) -> list[str]:
