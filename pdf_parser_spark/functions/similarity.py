@@ -409,34 +409,8 @@ def lsh_cosine_topk(
         F.col("tb.table").alias("table"),
         F.col("tb.bucket").alias("bucket"),
     )
-    q0 = _eager_kernel_output(
-        query_df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-            _make_lsh_code_kernel(planes_per_table, id_col, vec_col, "qid"),
-            schema=code_schema.format(id="qid"),
-        )
-    )
-    probe_structs = []
-    for t in range(n_tables):
-        b = F.col(f"b_{t}")
-        probes = [b]
-        if hamming == 1:
-            probes += [
-                b.bitwiseXOR(F.lit(1 << j).cast("long"))
-                for j in range(n_planes)
-            ]
-        probe_structs += [
-            F.struct(F.lit(t).alias("table"), p.alias("bucket"))
-            for p in probes
-        ]
-    q = q0.select(
-        F.col("qid").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("nrm").alias("qn"),
-        F.explode(F.array(*probe_structs)).alias("tb"),
-    ).select(
-        "query_id", "qvec", "qn",
-        F.col("tb.table").alias("table"),
-        F.col("tb.bucket").alias("bucket"),
+    q = _lsh_probe_side(
+        query_df, planes_per_table, id_col, vec_col, n_planes, hamming
     )
     cand = (
         c.join(F.broadcast(q), ["table", "bucket"])
@@ -460,6 +434,228 @@ def lsh_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _lsh_probe_side(
+    query_df: DataFrame,
+    planes_per_table: list,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    hamming: int,
+) -> DataFrame:
+    """Query side of the SRP bucket join: code the (small) query set,
+    explode to one row per (table, probe-bucket) with multi-probe at
+    Hamming distance <= hamming. Shared by lsh_cosine_topk and
+    query_lsh_index — one derivation, no forked probe logic."""
+    n_tables = len(planes_per_table)
+    code_schema = "qid long, vec array<float>, nrm double, " + ", ".join(
+        f"b_{t} long" for t in range(n_tables)
+    )
+    q0 = _eager_kernel_output(
+        query_df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            _make_lsh_code_kernel(planes_per_table, id_col, vec_col, "qid"),
+            schema=code_schema,
+        )
+    )
+    probe_structs = []
+    for t in range(n_tables):
+        b = F.col(f"b_{t}")
+        probes = [b]
+        if hamming == 1:
+            probes += [
+                b.bitwiseXOR(F.lit(1 << j).cast("long"))
+                for j in range(n_planes)
+            ]
+        probe_structs += [
+            F.struct(F.lit(t).alias("table"), p.alias("bucket"))
+            for p in probes
+        ]
+    return q0.select(
+        F.col("qid").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qn"),
+        F.explode(F.array(*probe_structs)).alias("tb"),
+    ).select(
+        "query_id", "qvec", "qn",
+        F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+
+def build_lsh_index(
+    df: DataFrame,
+    table: str,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 4,
+    n_buckets: int = 16,
+) -> None:
+    """Materialize the SRP-LSH index ONCE as a bucketed table — the
+    build-once / query-many shape a 100 TB similarity service needs
+    (round-4 VERDICT item 4). The corpus is coded in a single Arrow
+    kernel pass, exploded to one row per (table, bucket), and written
+    via sources/io.write_bucketed hash-bucketed on ``bucket`` — the
+    one corpus-sized shuffle this index ever pays. Every subsequent
+    query_lsh_index call is a pure read: no kernel re-run, no corpus
+    shuffle (the probe side is broadcast)."""
+    from pdf_parser_spark.sources.io import write_bucketed
+
+    planes_per_table = [
+        random_hyperplanes(dim, n_planes, seed=7 + t)
+        for t in range(n_tables)
+    ]
+    code_schema = "nid long, vec array<float>, nrm double, " + ", ".join(
+        f"b_{t} long" for t in range(n_tables)
+    )
+    c = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(
+            _make_lsh_code_kernel(planes_per_table, id_col, vec_col, "nid"),
+            schema=code_schema,
+        )
+        .select(
+            F.col("nid").alias("neighbor_id"),
+            F.col("vec").alias("cvec"),
+            F.col("nrm").alias("cn"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            F.col(f"b_{t}").alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        )
+        .select(
+            "neighbor_id", "cvec", "cn",
+            F.col("tb.table").alias("table"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+    )
+    write_bucketed(c, table, bucket_col="bucket", n_buckets=n_buckets)
+
+
+def _make_partial_topk_kernel(k: int):
+    """Partition-local candidate reducer: dedup (query, neighbor) pairs
+    (multi-table collisions carry identical payloads) and keep the top
+    ``k`` per query by (cosine desc, neighbor asc). Pure sort/filter —
+    the cosine itself was computed by the SAME codegen expression the
+    direct LSH path uses, so no float math happens here and the merged
+    result is bit-identical to the window-ranked one."""
+
+    def topk(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            acc = pdf if acc is None else pd.concat((acc, pdf))
+            # incremental bound: keep <= k per query between batches
+            acc = (
+                acc.drop_duplicates(["query_id", "neighbor_id"])
+                .sort_values(
+                    ["query_id", "cosine", "neighbor_id"],
+                    ascending=[True, False, True],
+                    kind="mergesort",
+                )
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+        if acc is not None and len(acc):
+            yield acc
+
+    return topk
+
+
+def _make_merge_topk_kernel(k: int):
+    """Single-partition final merge: global dedup + top-k + rank. Input
+    is <= k * n_queries * n_partitions slim rows (coalesced, never
+    shuffled); at real scale insert one more partial level (tree
+    reduce) before this if the partition count is extreme."""
+
+    def merge(batches):
+        import pandas as pd
+
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        acc = (
+            pd.concat(parts)
+            .drop_duplicates(["query_id", "neighbor_id"])
+            .sort_values(
+                ["query_id", "cosine", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+        )
+        acc["rank"] = acc.groupby("query_id", sort=False).cumcount() + 1
+        out = acc[acc["rank"] <= k]
+        yield out[["query_id", "neighbor_id", "rank", "cosine"]].astype(
+            {"rank": "int32"}
+        )
+
+    return merge
+
+
+def query_lsh_index(
+    spark,
+    table: str,
+    query_df: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 4,
+    hamming: int = 1,
+) -> DataFrame:
+    """Query a persisted SRP-LSH index (build_lsh_index) with a ZERO-
+    SHUFFLE plan: bucketed-index scan -> broadcast probe join -> codegen
+    cosine -> partition-local Arrow top-k -> coalesce(1) -> final merge.
+    No Exchange node anywhere (the window-rank + dropDuplicates
+    shuffles of the direct path are replaced by the two slim top-k
+    kernels), no SRP kernel re-run (codes come off parquet), and the
+    result is row- and bit-identical to lsh_cosine_topk with the same
+    parameters (same candidates, same codegen cosine expression, same
+    total tie order) — pinned by tests and by the shared contract
+    oracle. ``n_planes``/``n_tables``/``dim`` must match the build."""
+    if hamming not in (0, 1):
+        raise ValueError("multi-probe supports hamming 0 or 1")
+    planes_per_table = [
+        random_hyperplanes(dim, n_planes, seed=7 + t)
+        for t in range(n_tables)
+    ]
+    idx = spark.table(table)
+    q = _lsh_probe_side(
+        query_df, planes_per_table, id_col, vec_col, n_planes, hamming
+    )
+    scored = (
+        idx.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qvec"), F.col("cvec"), dim)
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cosine"),
+        )
+    )
+    partial = scored.mapInPandas(
+        _make_partial_topk_kernel(k),
+        schema="query_id long, neighbor_id long, cosine double",
+    )
+    return partial.coalesce(1).mapInPandas(
+        _make_merge_topk_kernel(k),
+        schema="query_id long, neighbor_id long, rank int, cosine double",
     )
 
 

@@ -58,3 +58,52 @@ def test_bucketed_groupby_no_exchange(spark, bucketed_tables):
         F.sum("n_chars").alias("c")
     )
     assert count_exchanges(plan_of(agg)) == 0
+
+
+def test_persisted_lsh_index_query_zero_exchange(spark, tmp_path_factory):
+    """build_lsh_index writes the SRP code table ONCE (bucketed); the
+    query path must then be shuffle-free — broadcast probe join +
+    codegen cosine + partition-local Arrow top-k + coalesce(1) merge,
+    with ZERO Exchange nodes — and must reproduce lsh_cosine_topk
+    row- and bit-identically (same planes, same candidates, same
+    codegen cosine, same tie order)."""
+    from pdf_parser_spark.functions import (
+        build_lsh_index,
+        lsh_cosine_topk,
+        query_lsh_index,
+    )
+
+    wh = str(tmp_path_factory.mktemp("annwh"))
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS annidx LOCATION '{wh}'")
+    try:
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        q = emb.filter(F.col("vec_id") < 10)
+        build_lsh_index(emb, "annidx.lsh", n_planes=8, dim=64,
+                        n_tables=4, n_buckets=8)
+
+        out = query_lsh_index(spark, "annidx.lsh", q, k=5, n_planes=8,
+                              dim=64, n_tables=4, hamming=1)
+        plan = plan_of(out)
+        # zero shuffle: the direct path's dropDuplicates + window rank
+        # exchanges are replaced by the two slim top-k kernels
+        assert count_exchanges(plan) == 0, plan[:3000]
+        # no SRP kernel re-run: the only scans are the persisted index
+        # and the (small) query side — embeddings.parquet appears once
+        assert plan.count("embeddings.parquet") <= 1, plan[:3000]
+        assert "annidx.lsh" in plan or "lsh" in plan
+
+        got = sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cosine)
+            for r in out.collect()
+        )
+        want = sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cosine)
+            for r in lsh_cosine_topk(
+                emb, q, k=5, n_planes=8, dim=64, n_tables=4, hamming=1
+            ).collect()
+        )
+        assert got == want  # pairs, ranks AND bit-identical cosines
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS annidx CASCADE")
