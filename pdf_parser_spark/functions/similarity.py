@@ -9,6 +9,9 @@ no UDFs anywhere.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -504,6 +507,23 @@ def build_lsh_index(
     shuffle (the probe side is broadcast)."""
     from pdf_parser_spark.sources.io import write_bucketed
 
+    spark = df.sparkSession
+    # a managed-table DIRECTORY can outlive the in-memory catalog (a
+    # prior session wrote it; this session's catalog has never heard of
+    # it) — saveAsTable then refuses with LOCATION_ALREADY_EXISTS.
+    # Drop both the catalog entry and any orphaned location first.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    parts = table.split(".")
+    loc = (
+        os.path.join(wh, f"{parts[0]}.db", parts[1])
+        if len(parts) == 2
+        else os.path.join(wh, parts[0])
+    )
+    shutil.rmtree(loc, ignore_errors=True)
+
     planes_per_table = [
         random_hyperplanes(dim, n_planes, seed=7 + t)
         for t in range(n_tables)
@@ -653,6 +673,13 @@ def query_lsh_index(
         _make_partial_topk_kernel(k),
         schema="query_id long, neighbor_id long, cosine double",
     )
+    # materialize the (k x queries x partitions slim-row) partial result
+    # BEFORE coalesce(1): coalesce without a boundary would otherwise
+    # pull the WHOLE scan->join->score->topk pipeline into one task —
+    # a single-threaded "zero-exchange" plan. With the eager checkpoint
+    # the heavy pipeline runs at full width and only checkpointed slim
+    # rows feed the single merge task. Still no Exchange node anywhere.
+    partial = _eager_kernel_output(partial)
     return partial.coalesce(1).mapInPandas(
         _make_merge_topk_kernel(k),
         schema="query_id long, neighbor_id long, rank int, cosine double",

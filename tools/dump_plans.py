@@ -247,6 +247,30 @@ def main() -> None:
         plan_of(bloom_new_docs(newd, ref), "simple"),
     ))
 
+    from pdf_parser_spark.functions import build_lsh_index, query_lsh_index
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS plansidx")
+    build_lsh_index(emb, "plansidx.lsh", n_planes=8, dim=64, n_tables=4,
+                    n_buckets=8)
+    qidx = query_lsh_index(
+        spark, "plansidx.lsh", emb.filter("vec_id < 5"), k=3, n_planes=8,
+        dim=64, n_tables=4,
+    )
+    sections.append((
+        "query_lsh_index (persisted ANN index, zero-shuffle query)",
+        "The SRP code table was materialized ONCE (build_lsh_index, "
+        "bucketed write); the query plan is scan -> broadcast probe "
+        "join -> compiled 64-term dot -> partition-local Arrow top-k "
+        "(CHECKPOINTED at full width — coalesce(1) without a boundary "
+        "would squeeze the whole pipeline into one task) -> coalesce(1) "
+        "merge over the slim checkpointed rows. NO Exchange node, no "
+        "SRP kernel re-run — the build-once/query-many shape of a "
+        "similarity service; bit-identical to lsh_cosine_topk "
+        "(test_bucketing).",
+        plan_of(qidx, "simple"),
+    ))
+    spark.sql("DROP DATABASE plansidx CASCADE")
+
     spark.stop()
 
     with open("PLANS.md", "w") as f:
