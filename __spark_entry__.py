@@ -504,6 +504,7 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the direct path, so the SAME independent
     pure-Python VALUES oracle checks it."""
     import re as _re
+    import tempfile
 
     from pdf_parser_spark.functions import build_lsh_index, query_lsh_index
 
@@ -512,8 +513,16 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").split("/")[-1])
     table = f"pps_ann_idx_{tag}"
     if not spark.catalog.tableExists(table):
+        # EXTERNAL table under /tmp: the session warehouse lives in the
+        # caller's CWD, which the driver's harness may not let us write.
+        # Deliberately NOT scratch-registered: the catalog entry keeps
+        # pointing here for the session's lifetime (the bench corpus
+        # under /tmp is the same persistence precedent); the next build
+        # rmtree-overwrites it.
+        idx_dir = os.path.join(tempfile.gettempdir(), f"pps_ann_idx_{tag}")
         build_lsh_index(
-            emb, table, n_planes=8, dim=64, n_tables=4, n_buckets=8
+            emb, table, n_planes=8, dim=64, n_tables=4, n_buckets=8,
+            path=idx_dir,
         )
     out = query_lsh_index(
         spark, table, q, k=5, n_planes=8, dim=64, n_tables=4, hamming=1

@@ -496,6 +496,7 @@ def build_lsh_index(
     dim: int = 64,
     n_tables: int = 4,
     n_buckets: int = 16,
+    path: str | None = None,
 ) -> None:
     """Materialize the SRP-LSH index ONCE as a bucketed table — the
     build-once / query-many shape a 100 TB similarity service needs
@@ -504,7 +505,11 @@ def build_lsh_index(
     via sources/io.write_bucketed hash-bucketed on ``bucket`` — the
     one corpus-sized shuffle this index ever pays. Every subsequent
     query_lsh_index call is a pure read: no kernel re-run, no corpus
-    shuffle (the probe side is broadcast)."""
+    shuffle (the probe side is broadcast).
+
+    ``path`` makes the table EXTERNAL at that location (callers whose
+    session CWD — and therefore managed warehouse — may not be
+    writable); default is a managed warehouse table."""
     from pdf_parser_spark.sources.io import write_bucketed
 
     spark = df.sparkSession
@@ -513,16 +518,19 @@ def build_lsh_index(
     # it) — saveAsTable then refuses with LOCATION_ALREADY_EXISTS.
     # Drop both the catalog entry and any orphaned location first.
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    from urllib.parse import urlparse
+    if path is None:
+        from urllib.parse import urlparse
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    parts = table.split(".")
-    loc = (
-        os.path.join(wh, f"{parts[0]}.db", parts[1])
-        if len(parts) == 2
-        else os.path.join(wh, parts[0])
-    )
-    shutil.rmtree(loc, ignore_errors=True)
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        parts = table.split(".")
+        loc = (
+            os.path.join(wh, f"{parts[0]}.db", parts[1])
+            if len(parts) == 2
+            else os.path.join(wh, parts[0])
+        )
+        shutil.rmtree(loc, ignore_errors=True)
+    else:
+        shutil.rmtree(path, ignore_errors=True)
 
     planes_per_table = [
         random_hyperplanes(dim, n_planes, seed=7 + t)
@@ -559,7 +567,9 @@ def build_lsh_index(
             F.col("tb.bucket").alias("bucket"),
         )
     )
-    write_bucketed(c, table, bucket_col="bucket", n_buckets=n_buckets)
+    write_bucketed(
+        c, table, bucket_col="bucket", n_buckets=n_buckets, path=path
+    )
 
 
 def _make_partial_topk_kernel(k: int):

@@ -102,6 +102,7 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 64,
     sorted_by: str | None = None,
+    path: str | None = None,
 ) -> None:
     """Bucketed table write: rows are hash-partitioned on ``bucket_col``
     into ``n_buckets`` files per partition AND the layout is recorded in
@@ -122,4 +123,9 @@ def write_bucketed(
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sorted_by is not None:
         w = w.sortBy(sorted_by)
+    if path is not None:
+        # external bucketed table: data lands at ``path`` instead of
+        # the managed warehouse (which sits under the session CWD in
+        # local mode — not necessarily writable for every caller)
+        w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
