@@ -530,6 +530,34 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-PQ-index path (functions/similarity.build_pq_index /
+    query_pq_index): 8-byte codes + driver-fit codebooks materialized
+    ONCE (build-if-absent, external tables under /tmp), then queried
+    with no code-kernel re-run and no codebook re-fit — the
+    build-once/query-many shape of the MEMORY-bound ANN path.
+    Parameters match q_pq_cosine_topk exactly and the query tail is the
+    SAME function, so the persisted path is bit-identical and the same
+    independent pure-Python VALUES oracle checks it."""
+    import re as _re
+    import tempfile
+
+    from pdf_parser_spark.functions import build_pq_index, query_pq_index
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").split("/")[-1])
+    table = f"pps_pq_idx_{tag}"
+    if not spark.catalog.tableExists(table):
+        idx_dir = os.path.join(tempfile.gettempdir(), f"pps_pq_idx_{tag}")
+        build_pq_index(
+            emb, table, m=8, ksub=16, max_train=512, n_buckets=8,
+            path=idx_dir,
+        )
+    out = query_pq_index(spark, table, q, k=5, rerank=32, m=8, dim=64)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 (inverted-list ANN scale path) for the
     first 10 vectors: deterministic driver-side Lloyd quantizer
@@ -2800,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "q8_cosine_topk": q_q8_cosine_topk,
         "pq_cosine_topk": q_pq_cosine_topk,
+        "pq_index_topk": q_pq_index_topk,
         "minhash_lsh": q_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
         "bloom_incremental": q_bloom_incremental,
@@ -2871,6 +2900,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_cosine_topk": _VALUES.IVF_TOPK_ORACLE,
         "q8_cosine_topk": _VALUES.Q8_TOPK_ORACLE,
         "pq_cosine_topk": _VALUES.PQ_TOPK_ORACLE,
+        "pq_index_topk": _VALUES.PQ_TOPK_ORACLE,
         "rollup_revenue": Q_ROLLUP_ORACLE,
         "semi_anti_customers": Q_SEMI_ANTI_ORACLE,
         "bpe_tokens": Q_BPE_ORACLE,

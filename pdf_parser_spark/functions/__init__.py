@@ -33,11 +33,13 @@ from .dedup import (  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_cosine_topk,
     build_lsh_index,
+    build_pq_index,
     ivf_cosine_topk,
     lsh_cosine_topk,
     pq_cosine_topk,
     q8_cosine_topk,
     query_lsh_index,
+    query_pq_index,
 )
 from .quality import (  # noqa: F401
     bpe_token_stats,

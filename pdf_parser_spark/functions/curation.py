@@ -76,6 +76,7 @@ def curate(
     threshold: float = 0.2,
     hash_fn: str = "xx",
     keeper: str = "min_id",
+    cjk: bool = False,
     materialize_dir: str | None = None,
     input_fingerprint: str | None = None,
 ) -> CurationResult:
@@ -96,7 +97,14 @@ def curate(
     (exact_dedup's rule, the contract default) or ``"longest"``
     (keep the longest redacted text per cluster, ties to min id — the
     keep-the-best-copy policy, via keep_best_per_cluster's
-    singleton-pass-through plan)."""
+    singleton-pass-through plan).
+
+    ``cjk=True`` makes the quality stage segment CJK codepoints as
+    single-character tokens (functions/textseg.py) — without it a real
+    Common-Crawl zh/ja document is ONE whitespace token and the gopher
+    stage drops the whole language as too_few_tokens. It is part of
+    the quality stage's fingerprint, so flipping it recomputes exactly
+    the quality stage and its downstream."""
     if keeper not in ("min_id", "longest"):
         raise ValueError(f"keeper must be min_id|longest: {keeper}")
     spark = df.sparkSession
@@ -187,9 +195,10 @@ def curate(
 
     # 1. quality filter (audit keeps the reasons for every doc)
     quality = mat(
-        gopher_quality_filter(df, text_col=text_col, id_col=id_col),
+        gopher_quality_filter(df, text_col=text_col, id_col=id_col,
+                              cjk=cjk),
         "quality",
-        {"text_col": text_col, "id_col": id_col},
+        {"text_col": text_col, "id_col": id_col, "cjk": cjk},
     )
     audit["quality"] = quality
     kept = df.join(

@@ -1048,6 +1048,29 @@ def pq_cosine_topk(
     rerank x n_queries rows. Deterministic end-to-end: shared codebook
     fit, left-fold kernels, total tie orders — the VALUES oracle
     replays it bit-for-bit."""
+    codebooks, coded = _pq_fit_and_code(
+        df, m, ksub, id_col, vec_col, seed, max_train
+    )
+    assigned = _eager_kernel_output(coded)
+    return _pq_query_tail(
+        assigned, query_df, codebooks, k, rerank, id_col, vec_col, dim, m
+    )
+
+
+def _pq_fit_and_code(
+    df: DataFrame,
+    m: int,
+    ksub: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    max_train: int,
+):
+    """Shared PQ derivation (pq_cosine_topk + build_pq_index): fit the
+    per-subspace codebooks driver-side on a bounded normalized sample,
+    then code the corpus in one Arrow pass. Returns (codebooks,
+    coded_df) with coded_df lazy — the caller decides whether to
+    checkpoint (ad-hoc query) or persist (index build)."""
     import numpy as np
 
     sample = (
@@ -1061,15 +1084,121 @@ def pq_cosine_topk(
     )
     train_n, _ = _normalize_rows_lf(train)
     codebooks = pq_fit_codebooks(train_n, m, ksub, seed=seed)
-
-    assigned = _eager_kernel_output(
-        df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-            _make_pq_code_kernel(codebooks, id_col, vec_col, "nid"),
-            schema=(
-                "nid long, vec array<float>, nrm double, codes array<int>"
-            ),
-        )
+    coded = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _make_pq_code_kernel(codebooks, id_col, vec_col, "nid"),
+        schema="nid long, vec array<float>, nrm double, codes array<int>",
     )
+    return codebooks, coded
+
+
+def build_pq_index(
+    df: DataFrame,
+    table: str,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_train: int = 4096,
+    n_buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Persist the product-quantization index ONCE: the 8-byte-code
+    table (plus vectors + norms for the exact rerank) lands as a
+    bucketed table on the id, and the driver-fit codebooks land beside
+    it as ``<table>_codebooks`` (j, ci, centroid float64 — exact
+    parquet round-trip). query_pq_index then reproduces pq_cosine_topk
+    bit-identically with NO kernel re-run and NO codebook re-fit — the
+    build-once/query-many shape of the MEMORY-bound ANN path (codes are
+    32x smaller than the vectors; at 10^9 vectors the code table is
+    what stays resident, the vector columns page in only for the
+    rerank join)."""
+    from pdf_parser_spark.sources.io import write_bucketed
+
+    spark = df.sparkSession
+    for t in (table, f"{table}_codebooks"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    if path is not None:
+        # stale external dirs from a prior session (whose in-memory
+        # catalog is gone) — same hazard build_lsh_index documents
+        shutil.rmtree(path, ignore_errors=True)
+    codebooks, coded = _pq_fit_and_code(
+        df, m, ksub, id_col, vec_col, seed, max_train
+    )
+    write_bucketed(
+        coded, table, bucket_col="nid", n_buckets=n_buckets,
+        path=path and os.path.join(path, "codes"),
+    )
+    cb_rows = [
+        (j, ci, [float(x) for x in codebooks[j][ci]])
+        for j in range(len(codebooks))
+        for ci in range(len(codebooks[j]))
+    ]
+    w = (
+        spark.createDataFrame(
+            cb_rows, "j int, ci int, centroid array<double>"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+    )
+    if path is not None:
+        w = w.option("path", os.path.join(path, "codebooks"))
+    w.format("parquet").saveAsTable(f"{table}_codebooks")
+
+
+def query_pq_index(
+    spark,
+    table: str,
+    query_df: DataFrame,
+    k: int = 5,
+    rerank: int = 32,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Query a persisted PQ index (build_pq_index): rebuild the
+    (tiny) codebooks from their table, stream the persisted code table
+    through the LUT kernel, exact-rerank — the same _pq_query_tail as
+    the ad-hoc path, so the result is row- and bit-identical to
+    pq_cosine_topk with matching parameters. No code kernel runs; the
+    corpus-sized work is one scan of 8-byte codes."""
+    cb_rows = spark.table(f"{table}_codebooks").collect()
+    n_j = 1 + max(r["j"] for r in cb_rows)
+    codebooks = [
+        [
+            list(r["centroid"])
+            for r in sorted(
+                (r for r in cb_rows if r["j"] == j),
+                key=lambda r: r["ci"],
+            )
+        ]
+        for j in range(n_j)
+    ]
+    assigned = spark.table(table)
+    return _pq_query_tail(
+        assigned, query_df, codebooks, k, rerank, id_col, vec_col, dim, m
+    )
+
+
+def _pq_query_tail(
+    assigned: DataFrame,
+    query_df: DataFrame,
+    codebooks,
+    k: int,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+) -> DataFrame:
+    """Scoring tail of the PQ path, shared by pq_cosine_topk (fresh
+    codes) and query_pq_index (persisted codes): build the per-query
+    LUTs driver-side, stream the code table through the LUT kernel,
+    rerank the top candidates with exact cosine. Identical inputs give
+    bit-identical output — the two callers differ only in WHERE
+    ``assigned`` and ``codebooks`` come from."""
+    import numpy as np
 
     qrows = query_df.select(F.col(id_col), F.col(vec_col)).collect()
     C = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
@@ -1112,7 +1241,7 @@ def pq_cosine_topk(
         "neighbor_id",
     )
     if dim <= 64:
-        qdf = df.sparkSession.createDataFrame(
+        qdf = assigned.sparkSession.createDataFrame(
             qside, "query_id long, qvec array<float>, qn double"
         )
         exact = joined.join(F.broadcast(qdf), "query_id").select(

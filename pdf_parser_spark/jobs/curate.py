@@ -52,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
                          "strip + whitespace collapse) before hashing")
     ap.add_argument("--repetition-filter", action="store_true",
                     help="also drop docs over Gopher top-ngram caps")
+    ap.add_argument("--cjk", action="store_true",
+                    help="CJK-aware quality tokenization (unspaced "
+                         "zh/ja segments per codepoint instead of "
+                         "reading as one token)")
     ap.add_argument("--host-quota", type=int, default=None,
                     help="cap docs per host (needs --url-col)")
     ap.add_argument("--threshold", type=float, default=0.2,
@@ -85,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
             repetition_filter=args.repetition_filter,
             threshold=args.threshold,
             keeper=args.keeper,
+            cjk=args.cjk,
             materialize_dir=f"{args.output}/stages",
             input_fingerprint=args.input,
         )

@@ -112,3 +112,54 @@ def test_persisted_lsh_index_query_zero_exchange(spark, tmp_path_factory):
         assert got == want  # pairs, ranks AND bit-identical cosines
     finally:
         spark.sql("DROP DATABASE IF EXISTS annidx CASCADE")
+
+
+def test_persisted_pq_index_matches_ad_hoc(spark, tmp_path):
+    """build_pq_index persists codes + codebooks; query_pq_index must
+    reproduce pq_cosine_topk row- and bit-identically (same shared
+    _pq_query_tail, codebooks float64 parquet round-trip is exact) —
+    across a simulated fresh-catalog rebuild too."""
+    from pdf_parser_spark.functions import (
+        build_pq_index,
+        pq_cosine_topk,
+        query_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+
+    want = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in pq_cosine_topk(
+            emb, q, k=5, m=8, ksub=16, rerank=32, dim=64, max_train=512
+        ).collect()
+    )
+    idx_dir = str(tmp_path / "pqidx")
+    build_pq_index(emb, "pq_t1", m=8, ksub=16, max_train=512,
+                   n_buckets=4, path=idx_dir)
+    try:
+        got = sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cosine)
+            for r in query_pq_index(
+                spark, "pq_t1", q, k=5, rerank=32, m=8, dim=64
+            ).collect()
+        )
+        assert got == want  # pairs, ranks AND bit-identical cosines
+
+        # stale-dir rebuild: drop the catalog entries (simulating a new
+        # session's empty in-memory catalog) but leave the directories;
+        # a rebuild must recover, not LOCATION_ALREADY_EXISTS
+        spark.sql("DROP TABLE pq_t1")
+        spark.sql("DROP TABLE pq_t1_codebooks")
+        build_pq_index(emb, "pq_t1", m=8, ksub=16, max_train=512,
+                       n_buckets=4, path=idx_dir)
+        again = sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cosine)
+            for r in query_pq_index(
+                spark, "pq_t1", q, k=5, rerank=32, m=8, dim=64
+            ).collect()
+        )
+        assert again == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pq_t1")
+        spark.sql("DROP TABLE IF EXISTS pq_t1_codebooks")

@@ -353,3 +353,55 @@ def test_filter_funnel_backslash_stage_name(spark):
     name = r"regex \d+ and quote ' mix"
     out = filter_funnel(docs, [(name, F.col("n") >= 10)]).collect()
     assert out[0]["stage"] == name and out[0]["docs_out"] == 1
+
+
+def test_curate_cjk_quality_stage(spark, tmp_path):
+    """curate(cjk=True) keeps unspaced zh/ja documents the latin
+    tokenizer would drop, the flag is part of the quality stage's
+    fingerprint (flipping it recomputes quality), and the CLI exposes
+    it as --cjk."""
+    import json as _json
+
+    from pdf_parser_spark.functions import curate
+    from pdf_parser_spark.functions.textseg import build_cjk_probe
+
+    rows = [
+        (i, t, lang) for i, t, lang in build_cjk_probe() if i in (0, 1, 5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kw = dict(rates={"en": 100, "zh": 100, "ja": 100}, default_pct=100,
+              threshold=0.2)
+
+    latin = curate(docs, **kw)
+    assert {r.doc_id for r in latin.curated.collect()} == {5}
+    cjk = curate(docs, cjk=True, **kw)
+    assert {r.doc_id for r in cjk.curated.collect()} == {0, 1, 5}
+
+    # fingerprint: flipping cjk invalidates the materialized quality
+    # stage (the _PARAMS digest must change)
+    mdir = str(tmp_path / "stages")
+    curate(docs, materialize_dir=mdir, **kw)
+    with open(f"{mdir}/quality/_PARAMS.json") as f:
+        fp_latin = _json.load(f)["fingerprint"]
+    curate(docs, cjk=True, materialize_dir=mdir, **kw)
+    with open(f"{mdir}/quality/_PARAMS.json") as f:
+        meta = _json.load(f)
+    assert meta["fingerprint"] != fp_latin
+    assert meta["params"]["cjk"] is True
+
+    # CLI wiring
+    import subprocess
+    import sys
+
+    inp = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(inp)
+    out = subprocess.run(
+        [sys.executable, "-m", "pdf_parser_spark.jobs.curate",
+         "--input", inp, "--output", str(tmp_path / "o"), "--run-id",
+         "cjk1", "--rates", "en=100,zh=100,ja=100", "--default-pct",
+         "100", "--cjk"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("run_id=")][-1]
+    assert "kept=3" in line and "curated=3" in line, line
