@@ -540,6 +540,7 @@ def percentile_filter(
     q: float = 0.25,
     keep: str = "above",
     id_col: str = "doc_id",
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
     """Adaptive threshold filter: keep rows whose ``metric_col`` is at
     or above (``keep="above"``) / at or below (``"below"``) the corpus's
@@ -552,10 +553,14 @@ def percentile_filter(
     scalar crosses to the driver — bounded by definition), then the
     filter is a pure codegen comparison against the literal, pushable
     into the scan of a materialized corpus.  At 100 TB the exact
-    percentile's full sort is the one expensive step; swap in
-    ``approx_percentile(..., accuracy)`` for a single-pass sketch with
-    a bounded error — same operator shape (corpus_stats documents the
-    same trade).
+    percentile's full sort is the one expensive step:
+    ``approx_accuracy=N`` (e.g. 10000; rank error <= 1/N) switches the
+    scalar pre-pass to the single-pass mergeable
+    ``approx_percentile`` sketch — the quantile job goes from
+    sort-the-corpus to one map-side-combining aggregate, and the
+    operator shape (scalar broadcast -> codegen literal filter) is
+    unchanged. The contract/oracle path stays exact (DuckDB has no
+    matching sketch; cross-engine hashes need the exact cut).
 
     The threshold is rounded to 6 dp before comparing (Spark
     ``percentile`` and DuckDB ``quantile_cont`` agree to >6 dp on exact
@@ -571,9 +576,13 @@ def percentile_filter(
     # spaces / hyphens must parse as ONE column reference, like every
     # other operator that takes names via F.col (round-4 ADVICE)
     mcol = metric_col.replace("`", "``")
-    thr = df.agg(
-        F.round(F.expr(f"percentile(`{mcol}`, {q})"), 6).alias("t")
-    ).collect()[0]["t"]
+    if approx_accuracy is None:
+        quant = F.expr(f"percentile(`{mcol}`, {q})")
+    else:
+        quant = F.expr(
+            f"approx_percentile(`{mcol}`, {q}, {int(approx_accuracy)})"
+        )
+    thr = df.agg(F.round(quant, 6).alias("t")).collect()[0]["t"]
     if thr is None:
         # empty input / all-null metric: no threshold exists — return
         # the empty frame (same schema) rather than an opaque TypeError

@@ -1436,6 +1436,43 @@ def test_percentile_filter_empty_input(spark):
     assert out.columns == ["doc_id", "score", "threshold"]
 
 
+def test_percentile_filter_approx_sketch(spark):
+    """approx_accuracy switches the scalar pre-pass to the single-pass
+    approx_percentile sketch (the 100 TB shape: one map-side-combining
+    aggregate instead of a full sort). At accuracy >= n_rows the sketch
+    is exact on integer-valued metrics, so survivors must match the
+    exact path; at a coarse accuracy the cut still lands within the
+    documented rank-error bound."""
+    from pdf_parser_spark.functions import percentile_filter
+
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "doc_id long, score double"
+    )
+    exact = {
+        r.doc_id
+        for r in percentile_filter(docs, "score", q=0.25).collect()
+    }
+    sketch = {
+        r.doc_id
+        for r in percentile_filter(
+            docs, "score", q=0.25, approx_accuracy=10000
+        ).collect()
+    }
+    # approx_percentile is NEAREST-RANK (returns an actual element)
+    # while the exact path interpolates — at full accuracy the cuts
+    # differ by at most the one boundary row
+    assert len(exact.symmetric_difference(sketch)) <= 1
+    assert sketch >= exact - {min(exact)}
+    # coarse sketch: rank error <= n/accuracy = 5 rows (+1 boundary)
+    coarse = {
+        r.doc_id
+        for r in percentile_filter(
+            docs, "score", q=0.25, approx_accuracy=20
+        ).collect()
+    }
+    assert len(exact.symmetric_difference(coarse)) <= 6
+
+
 def test_percentile_filter_odd_column_name(spark):
     """Metric column names needing backticks (dots, spaces, hyphens)
     must resolve as ONE column reference, not break the percentile
